@@ -1,0 +1,214 @@
+"""x0-parameterized Gaussian diffusion: losses and scan-based samplers.
+
+Capability parity with reference GaussianDiffusion
+(video_diffusion_pytorch/diffusion_mead_encoder_decoder.py:549-762 and the
+BIWI/VOCASET variant diffusion_BIWI_encoder_decoder.py:675-711), re-designed
+TPU-first:
+
+  * the denoiser is abstracted as `denoise_fn(x_t, t) -> x0_hat`; conditioning
+    (precomputed audio features, emotion/speaker one-hots, CFG doubling) is
+    closed over by the caller, so the audio encoder runs ONCE instead of once
+    per denoise step (the reference re-runs HuBERT in every one of its 1000
+    steps, reference models/fdm_vqvae_mead.py:70);
+  * both samplers are `jax.lax.scan`s over static step counts — the whole
+    sampling chain is one compiled XLA program, no host round-trips;
+  * everything is a pure function of a DiffusionSchedule pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdm_tpu.diffusion.schedule import DiffusionSchedule, extract
+
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def q_sample(
+    schedule: DiffusionSchedule,
+    x_start: jnp.ndarray,
+    t: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> jnp.ndarray:
+    """Forward diffusion q(x_t | x_0). `t` is (B,) int32."""
+    nd = x_start.ndim
+    return (
+        extract(schedule.sqrt_alphas_cumprod, t, nd) * x_start
+        + extract(schedule.sqrt_one_minus_alphas_cumprod, t, nd) * noise
+    )
+
+
+def predict_start_from_noise(schedule, x_t, t, noise):
+    nd = x_t.ndim
+    return (
+        extract(schedule.sqrt_recip_alphas_cumprod, t, nd) * x_t
+        - extract(schedule.sqrt_recipm1_alphas_cumprod, t, nd) * noise
+    )
+
+
+def predict_noise_from_start(schedule, x_t, t, x0):
+    nd = x_t.ndim
+    return (
+        extract(schedule.sqrt_recip_alphas_cumprod, t, nd) * x_t - x0
+    ) / extract(schedule.sqrt_recipm1_alphas_cumprod, t, nd)
+
+
+def q_posterior(
+    schedule: DiffusionSchedule,
+    x_start: jnp.ndarray,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Posterior q(x_{t-1} | x_t, x_0): mean, variance, clipped log-variance."""
+    nd = x_t.ndim
+    mean = (
+        extract(schedule.posterior_mean_coef1, t, nd) * x_start
+        + extract(schedule.posterior_mean_coef2, t, nd) * x_t
+    )
+    variance = extract(schedule.posterior_variance, t, nd)
+    log_variance = extract(schedule.posterior_log_variance_clipped, t, nd)
+    return mean, variance, log_variance
+
+
+def p_losses(
+    schedule: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    x_start: jnp.ndarray,
+    t: jnp.ndarray,
+    noise: jnp.ndarray,
+    loss_type: str = "l2",
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-step denoising loss. Returns (loss, x0_prediction).
+
+    `mask` is an optional (B, L) weight over the sequence axis (1 = real
+    frame-token, 0 = padding) so bucketed static-shape batches don't leak
+    padding into the objective. Reference equivalent: p_losses at
+    diffusion_mead_encoder_decoder.py:738-756 (unmasked, batch of one).
+    """
+    x_noisy = q_sample(schedule, x_start, t, noise)
+    x_recon = denoise_fn(x_noisy, t)
+    if loss_type == "l1":
+        err = jnp.abs(x_start - x_recon)
+    elif loss_type == "l2":
+        err = jnp.square(x_start - x_recon)
+    else:
+        raise NotImplementedError(loss_type)
+    if mask is not None:
+        w = mask[..., None].astype(err.dtype)
+        loss = jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * err.shape[-1], 1.0)
+    else:
+        loss = jnp.mean(err)
+    return loss, x_recon
+
+
+def ddpm_sample(
+    schedule: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    num_steps: Optional[int] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Ancestral DDPM sampling as one `lax.scan` (T -> 0).
+
+    Reference equivalent: p_sample_loop / p_sample at
+    diffusion_mead_encoder_decoder.py:650-670 — a 1000-iteration Python loop
+    calling the full denoiser per step; here it is a single compiled scan.
+    """
+    total = schedule.num_timesteps
+    num_steps = total if num_steps is None else num_steps
+    key, init_key = jax.random.split(key)
+    x_init = jax.random.normal(init_key, shape, dtype=dtype)
+
+    timesteps = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
+    step_keys = jax.random.split(key, num_steps)
+
+    def body(x, inp):
+        t_scalar, step_key = inp
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        x_recon = denoise_fn(x, t)
+        mean, _, log_var = q_posterior(schedule, x_recon, x, t)
+        noise = jax.random.normal(step_key, shape, dtype=dtype)
+        # no noise on the final (t == 0) step
+        nonzero = (t_scalar > 0).astype(dtype)
+        x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+        return x_next, None
+
+    x_final, _ = jax.lax.scan(body, x_init, (timesteps, step_keys))
+    return x_final
+
+
+def ddim_time_pairs(total_timesteps: int, steps: int) -> np.ndarray:
+    """The reference's DDIM time discretization: linspace(-1, T-1, steps+1)
+    reversed into (t, t_next) pairs (diffusion_BIWI_encoder_decoder.py:684-691).
+    Returns an int32 array of shape (steps, 2)."""
+    times = np.linspace(-1, total_timesteps - 1, steps + 1).astype(np.int32)
+    times = list(reversed(times.tolist()))
+    return np.asarray(list(zip(times[:-1], times[1:])), dtype=np.int32)
+
+
+def ddim_sample(
+    schedule: DiffusionSchedule,
+    denoise_fn: DenoiseFn,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    steps: int = 50,
+    eta: float = 0.0,
+    tail: str = "reference",
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """DDIM sampling as one `lax.scan` over (t, t_next) pairs.
+
+    tail="reference" reproduces the reference exactly: the final (t_min, -1)
+    pair computes x0 but skips the state update
+    (diffusion_BIWI_encoder_decoder.py:696-697 `if i_next < 0: continue`), so
+    the returned sample sits at noise level t_min — we simply drop that pair
+    (identical output, one fewer denoiser call). tail="x0" instead returns the
+    final clean x0 prediction (strictly lower output noise).
+    """
+    if tail not in ("reference", "x0"):
+        raise ValueError(f"tail must be 'reference' or 'x0', got {tail!r}")
+    pairs = ddim_time_pairs(schedule.num_timesteps, steps)
+    if tail == "reference":
+        pairs = pairs[:-1]  # reference discards the last pair's update
+
+    key, init_key = jax.random.split(key)
+    x_init = jax.random.normal(init_key, shape, dtype=dtype)
+    step_keys = jax.random.split(key, pairs.shape[0])
+
+    def body(x, inp):
+        pair, step_key = inp
+        t = jnp.full((shape[0],), pair[0], dtype=jnp.int32)
+        t_next = jnp.full((shape[0],), pair[1], dtype=jnp.int32)
+        x_recon = denoise_fn(x, t)
+        pred_noise = predict_noise_from_start(schedule, x, t, x_recon)
+
+        nd = x.ndim
+        alpha_bar = extract(schedule.alphas_cumprod, t, nd)
+        # clamp -1 -> 0 for the gather; the t_next < 0 branch is masked below
+        alpha_bar_next = extract(
+            schedule.alphas_cumprod, jnp.maximum(t_next, 0), nd
+        )
+        if eta == 0.0:
+            sigma = jnp.zeros_like(alpha_bar)
+        else:
+            sigma = (
+                eta
+                * jnp.sqrt((1 - alpha_bar) / (1 - alpha_bar_next))
+                * jnp.sqrt(1 - alpha_bar / alpha_bar_next)
+            )
+        c = jnp.sqrt(1 - alpha_bar_next - sigma**2)
+        noise = jax.random.normal(step_key, shape, dtype=dtype)
+        x_next = x_recon * jnp.sqrt(alpha_bar_next) + c * pred_noise + sigma * noise
+        # guard: if t_next < 0 this pair carries the x0 prediction instead
+        is_last = (t_next[0] < 0).astype(dtype)
+        x_next = (1.0 - is_last) * x_next + is_last * x_recon
+        return x_next, None
+
+    x_final, _ = jax.lax.scan(body, x_init, (jnp.asarray(pairs), step_keys))
+    return x_final

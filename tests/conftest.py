@@ -1,0 +1,24 @@
+"""Test harness: force an 8-device virtual CPU platform BEFORE first jax use.
+
+Multi-chip hardware is not available in CI; sharding tests run against XLA's
+host-platform device partitioning (8 virtual CPU devices). Note the TPU
+tunnel's sitecustomize programmatically sets jax_platforms, so the env var
+alone is not enough — we override jax.config directly before any backend
+initialization.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,120 @@
+"""Vector quantization: nearest-codebook-entry search with straight-through.
+
+Capability parity with the reference's two quantizers:
+  * plain codebook        — reference models/lib/quantizer.py:14-89
+  * emotion-partitioned   — reference models/vq_vae_emotion.py:200-276
+    (7 emotions x (n_embed//7) entries; lookup restricted to the slice
+    selected by the emotion one-hot)
+
+TPU-first design: the emotion partition is realized as a full static-shape
+distance matmul (MXU-friendly (B*L, N) GEMM) plus an additive +inf bias on
+out-of-slice entries — no dynamic slicing, batch-heterogeneous emotions are
+fine (the reference computes `argmax(one_hot)` of the whole batch and only
+supports batch size 1, reference vq_vae_emotion.py:223).
+
+Returned indices are slice-relative when partitioned, matching the reference's
+forward semantics (vq_vae_emotion.py:233-238).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizerOutput(NamedTuple):
+    z_q: jnp.ndarray          # (B, L, D) quantized latents (straight-through)
+    loss: jnp.ndarray         # scalar commitment + codebook loss
+    perplexity: jnp.ndarray   # scalar codebook-usage perplexity
+    indices: jnp.ndarray      # (B, L) int32; slice-relative when partitioned
+    global_indices: jnp.ndarray  # (B, L) int32 into the full codebook
+
+
+def _partition_bias(
+    n_embed: int, partitions: int, one_hot: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, n_embed) additive bias: 0 on the selected emotion slice, +inf off it."""
+    slice_size = n_embed // partitions
+    entry_partition = jnp.arange(n_embed) // slice_size          # (N,)
+    selected = jnp.argmax(one_hot, axis=-1)                      # (B,)
+    off_slice = entry_partition[None, :] != selected[:, None]    # (B, N)
+    return jnp.where(off_slice, jnp.inf, 0.0).astype(jnp.float32)
+
+
+def quantize(
+    codebook: jnp.ndarray,
+    z: jnp.ndarray,
+    one_hot: Optional[jnp.ndarray] = None,
+    partitions: int = 0,
+    beta: float = 0.25,
+    token_mask: Optional[jnp.ndarray] = None,
+) -> QuantizerOutput:
+    """Nearest-neighbor quantize z (B, L, D) against codebook (N, D).
+
+    `one_hot` (B, partitions) selects the emotion slice when partitions > 0.
+    `token_mask` (B, L) optionally excludes padded tokens from the losses and
+    perplexity (the reference has no padding; batch size 1).
+    """
+    B, L, D = z.shape
+    N = codebook.shape[0]
+    # ||z - e||^2 = ||z||^2 + ||e||^2 - 2 z.e  — one big (B*L, N) GEMM
+    z2 = jnp.sum(z * z, axis=-1, keepdims=True)                  # (B, L, 1)
+    e2 = jnp.sum(codebook * codebook, axis=-1)                   # (N,)
+    ze = jnp.einsum("bld,nd->bln", z, codebook)                  # (B, L, N)
+    d = z2 + e2[None, None, :] - 2.0 * ze
+
+    if partitions:
+        if one_hot is None:
+            raise ValueError("partitioned codebook requires an emotion one_hot")
+        d = d + _partition_bias(N, partitions, one_hot)[:, None, :]
+        slice_size = N // partitions
+        global_indices = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        indices = global_indices % slice_size
+    else:
+        global_indices = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        indices = global_indices
+
+    z_q = codebook[global_indices]                               # (B, L, D)
+
+    if token_mask is None:
+        sq_err_zq = jnp.mean(jnp.square(jax.lax.stop_gradient(z_q) - z))
+        sq_err_z = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z)))
+    else:
+        w = token_mask[..., None].astype(z.dtype)
+        denom = jnp.maximum(jnp.sum(w) * D, 1.0)
+        sq_err_zq = jnp.sum(jnp.square(jax.lax.stop_gradient(z_q) - z) * w) / denom
+        sq_err_z = jnp.sum(jnp.square(z_q - jax.lax.stop_gradient(z)) * w) / denom
+    loss = beta * sq_err_zq + sq_err_z
+
+    # straight-through estimator
+    z_q = z + jax.lax.stop_gradient(z_q - z)
+
+    # perplexity over (slice-relative) code usage
+    usage_size = N // partitions if partitions else N
+    onehot_codes = jax.nn.one_hot(indices.reshape(-1), usage_size)
+    if token_mask is not None:
+        m = token_mask.reshape(-1, 1)
+        e_mean = jnp.sum(onehot_codes * m, axis=0) / jnp.maximum(jnp.sum(m), 1.0)
+    else:
+        e_mean = jnp.mean(onehot_codes, axis=0)
+    perplexity = jnp.exp(-jnp.sum(e_mean * jnp.log(e_mean + 1e-10)))
+
+    return QuantizerOutput(z_q, loss, perplexity, indices, global_indices)
+
+
+def codebook_lookup(codebook: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Fetch codebook entries by GLOBAL index (reference get_codebook_entry,
+    models/lib/quantizer.py:77-88 — note the reference intentionally ignores
+    the emotion partition here, quirk Q12)."""
+    return codebook[indices]
+
+
+def get_distances(codebook: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Full (unpartitioned) squared distances (B, L, N) — reference
+    get_distance (models/lib/quantizer.py:66-75)."""
+    z2 = jnp.sum(z * z, axis=-1, keepdims=True)
+    e2 = jnp.sum(codebook * codebook, axis=-1)
+    ze = jnp.einsum("bld,nd->bln", z, codebook)
+    return z2 + e2[None, None, :] - 2.0 * ze

@@ -1,0 +1,303 @@
+"""(E)VQ-VAE motion codec — stage 1 of the pipeline, in flax.linen.
+
+One parameterized implementation covering the reference's three model files
+(models/vq_vae.py [BIWI], vq_vae_emotion.py [MEAD], vq_vae_vocaset.py
+[VOCASET]) via VQVAEConfig:
+
+  encoder: Linear+LeakyReLU vertex mapping (+ optional emotion mapping) ->
+           Conv1d "squasher" (stride-2 chain when quant_factor>0, else one
+           stride-1 k5 replicate-pad conv) -> pre-LN transformer ->
+           Linear to face_quan_num*zquant_dim token channels
+  quant:   nearest-neighbor codebook (optionally emotion-partitioned)
+  decoder: Linear from token channels -> Conv "expander" -> transformer ->
+           final Linear to vertex space
+
+Reference quirks reproduced deliberately (see SURVEY.md §2.6):
+  * attention scale is hidden_size**-0.5, NOT head_dim**-0.5
+    (reference models/lib/base_models.py:144);
+  * the "positional encoding" adds a constant batch-row vector, carrying no
+    positional information (base_models.py:296-301) — pos_mode='reference';
+  * VOCASET's decoder output Linear has a bias, MEAD/BIWI's doesn't.
+
+Layout is (B, L, C) throughout (no BCL permutes — XLA prefers feature-minor).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fdm_tpu.configs import VQVAEConfig
+from fdm_tpu.codec import quantizer as quant_lib
+from fdm_tpu.ops.basic import instance_norm_1d, replicate_pad_1d
+from fdm_tpu.ops.positional import sinusoidal_table
+
+
+def frames_to_tokens(h: jnp.ndarray, tokens_per_frame: int) -> jnp.ndarray:
+    """(B, T, tokens*D) frame-major -> (B, T*tokens, D) token-major."""
+    B, T, C = h.shape
+    return h.reshape(B, T * tokens_per_frame, C // tokens_per_frame)
+
+
+def tokens_to_frames(z: jnp.ndarray, tokens_per_frame: int) -> jnp.ndarray:
+    """(B, T*tokens, D) token-major -> (B, T, tokens*D) frame-major."""
+    B, L, D = z.shape
+    return z.reshape(B, L // tokens_per_frame, tokens_per_frame * D)
+
+
+class PreLNTransformer(nn.Module):
+    """The reference's stage-1 transformer backbone: alternating
+    Residual(LN -> Attention) and Residual(LN -> MLP) blocks with exact GELU
+    (reference models/lib/base_models.py:177-227)."""
+
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    intermediate_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = self.hidden_size
+        # reference quirk: softmax scale uses the FULL model dim
+        scale = dim**-0.5
+        for layer in range(self.num_layers):
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"attn_ln_{layer}")(x)
+            qkv = nn.Dense(
+                3 * dim, use_bias=False, dtype=self.dtype, name=f"attn_qkv_{layer}"
+            )(h)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            B, L, _ = q.shape
+            hd = dim // self.num_heads
+            q = q.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+                self.dtype
+            )
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, dim)
+            out = nn.Dense(dim, dtype=self.dtype, name=f"attn_out_{layer}")(out)
+            x = x + out
+
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"mlp_ln_{layer}")(x)
+            h = nn.Dense(
+                self.intermediate_size, dtype=self.dtype, name=f"mlp_fc1_{layer}"
+            )(h)
+            h = jax.nn.gelu(h, approximate=False)
+            h = nn.Dense(dim, dtype=self.dtype, name=f"mlp_fc2_{layer}")(h)
+            x = x + h
+        return x
+
+
+class ConvSquasher(nn.Module):
+    """Temporal conv stack before/after the transformer (k5, replicate pad,
+    LeakyReLU, InstanceNorm) — reference vq_vae.py:141-164."""
+
+    hidden_size: int
+    quant_factor: int
+    neg_slope: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.quant_factor == 0:
+            x = replicate_pad_1d(x, 2)
+            x = nn.Conv(
+                self.hidden_size, (5,), padding="VALID", dtype=self.dtype,
+                name="conv_0",
+            )(x)
+            x = nn.leaky_relu(x, self.neg_slope)
+            x = instance_norm_1d(x)
+            return x
+        x = replicate_pad_1d(x, 2)
+        x = nn.Conv(
+            self.hidden_size, (5,), strides=(2,), padding="VALID",
+            dtype=self.dtype, name="conv_0",
+        )(x)
+        x = nn.leaky_relu(x, self.neg_slope)
+        x = instance_norm_1d(x)
+        for i in range(1, self.quant_factor):
+            x = replicate_pad_1d(x, 2)
+            x = nn.Conv(
+                self.hidden_size, (5,), padding="VALID", dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
+            x = nn.leaky_relu(x, self.neg_slope)
+            x = instance_norm_1d(x)
+            x = nn.max_pool(x, (2,), strides=(2,))
+        return x
+
+
+class ConvExpander(nn.Module):
+    """Decoder-side temporal expansion — reference vq_vae.py:283-312."""
+
+    hidden_size: int
+    quant_factor: int
+    neg_slope: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.quant_factor == 0:
+            x = replicate_pad_1d(x, 2)
+            x = nn.Conv(
+                self.hidden_size, (5,), padding="VALID", dtype=self.dtype,
+                name="conv_0",
+            )(x)
+            x = nn.leaky_relu(x, self.neg_slope)
+            x = instance_norm_1d(x)
+            return x
+        x = nn.ConvTranspose(
+            self.hidden_size, (5,), strides=(2,), padding="SAME",
+            dtype=self.dtype, name="deconv_0",
+        )(x)
+        x = nn.leaky_relu(x, self.neg_slope)
+        x = instance_norm_1d(x)
+        for i in range(1, self.quant_factor):
+            x = replicate_pad_1d(x, 2)
+            x = nn.Conv(
+                self.hidden_size, (5,), padding="VALID", dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
+            x = nn.leaky_relu(x, self.neg_slope)
+            x = instance_norm_1d(x)
+            x = jnp.repeat(x, 2, axis=1)
+        return x
+
+
+class VQEncoder(nn.Module):
+    config: VQVAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, motion: jnp.ndarray, one_hot: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        cfg = self.config
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="vertice_mapping")(
+            motion
+        )
+        x = nn.leaky_relu(x, cfg.neg_slope)
+        if cfg.emotion_classes:
+            if one_hot is None:
+                raise ValueError("emotion-conditioned encoder requires one_hot")
+            e = nn.Dense(
+                cfg.hidden_size, dtype=self.dtype, name="emotion_mapping"
+            )(one_hot.astype(self.dtype))
+            e = nn.leaky_relu(e, cfg.neg_slope)
+            # (B, classes) -> broadcast over time like the reference's
+            # (B, 1, C) + (B, L, C) add (vq_vae_emotion.py:189-190)
+            x = x + e[:, None, :]
+        x = ConvSquasher(
+            cfg.hidden_size, cfg.quant_factor, cfg.neg_slope, self.dtype,
+            name="squasher",
+        )(x)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_transformer")(x)
+        x = x + jnp.asarray(
+            sinusoidal_table(1, cfg.hidden_size)[0], dtype=self.dtype
+        )  # reference batch-constant "PE" (pos_mode='reference')
+        x = PreLNTransformer(
+            cfg.hidden_size, cfg.num_hidden_layers, cfg.num_attention_heads,
+            cfg.intermediate_size, self.dtype, name="transformer",
+        )(x)
+        if cfg.post_pre_linear:
+            x = nn.Dense(
+                cfg.latent_frame_dim, dtype=self.dtype, name="post_transformer"
+            )(x)
+        elif cfg.hidden_size != cfg.latent_frame_dim:
+            raise ValueError(
+                "post_pre_linear=False requires hidden_size == "
+                "face_quan_num * zquant_dim"
+            )
+        return frames_to_tokens(x, cfg.face_quan_num)
+
+
+class VQDecoder(nn.Module):
+    config: VQVAEConfig
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z_q_tokens: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        x = tokens_to_frames(z_q_tokens, cfg.face_quan_num)
+        if cfg.post_pre_linear:
+            x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_expander")(x)
+        x = ConvExpander(
+            cfg.hidden_size, cfg.quant_factor, cfg.neg_slope, self.dtype,
+            name="expander",
+        )(x)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_transformer")(x)
+        x = x + jnp.asarray(
+            sinusoidal_table(1, cfg.hidden_size)[0], dtype=self.dtype
+        )
+        x = PreLNTransformer(
+            cfg.hidden_size, cfg.num_hidden_layers, cfg.num_attention_heads,
+            cfg.intermediate_size, self.dtype, name="transformer",
+        )(x)
+        x = nn.Dense(
+            self.out_dim, use_bias=cfg.decoder_out_bias, dtype=self.dtype,
+            name="vertice_map_reverse",
+        )(x)
+        return x
+
+
+class VQAutoEncoder(nn.Module):
+    """Full codec. API:
+        encode(motion, one_hot)           -> pre-quant latent tokens (B, L, D)
+        quant(z, one_hot[, token_mask])   -> QuantizerOutput
+        decode(z_q)                       -> motion (B, T, in_dim)
+        __call__(x, template, one_hot)    -> (recon, quant_loss, perplexity)
+
+    Reference: VQAutoEncoder in models/vq_vae_emotion.py:8-107 (and the plain
+    variants). Template subtract/add wraps the codec like the reference's
+    forward (vq_vae_emotion.py:43-53).
+    """
+
+    config: VQVAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = VQEncoder(cfg, self.dtype)
+        self.decoder = VQDecoder(cfg, cfg.in_dim, self.dtype)
+        self.codebook = self.param(
+            "codebook",
+            lambda key, shape: jax.random.uniform(
+                key, shape, minval=-1.0 / cfg.n_embed, maxval=1.0 / cfg.n_embed
+            ),
+            (cfg.n_embed, cfg.zquant_dim),
+        )
+
+    def encode(self, motion, one_hot=None):
+        return self.encoder(motion, one_hot)
+
+    def quant(self, z, one_hot=None, token_mask=None):
+        return quant_lib.quantize(
+            self.codebook,
+            z,
+            one_hot=one_hot,
+            partitions=self.config.emotion_classes,
+            beta=self.config.commitment_beta,
+            token_mask=token_mask,
+        )
+
+    def decode(self, z_q):
+        return self.decoder(z_q)
+
+    def decode_indices(self, global_indices):
+        """Indices -> motion (reference decode_to_img, vq_vae_emotion.py:89-96)."""
+        z_q = quant_lib.codebook_lookup(self.codebook, global_indices)
+        return self.decoder(z_q)
+
+    def __call__(self, x, template, one_hot=None, token_mask=None):
+        motion = x - template
+        z = self.encode(motion, one_hot)
+        q = self.quant(z, one_hot, token_mask)
+        recon = self.decode(q.z_q) + template
+        return recon, q.loss, q.perplexity

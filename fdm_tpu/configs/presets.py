@@ -41,6 +41,10 @@ class VQVAEConfig:
     decoder_out_bias: bool = False     # MEAD/BIWI: bias-less final Linear
                                        # (reference vq_vae.py:329); VOCASET has
                                        # bias (vq_vae_vocaset.py:243)
+    post_pre_linear: bool = True       # MEAD/BIWI project hidden<->token dims
+                                       # around the codec (vq_vae.py:181,328);
+                                       # VOCASET reinterprets hidden directly
+                                       # as 16x64 tokens (vq_vae_vocaset.py)
 
     @property
     def latent_frame_dim(self) -> int:
@@ -186,7 +190,7 @@ def vocaset_config(**overrides) -> PipelineConfig:
     )
     vqvae = VQVAEConfig(
         in_dim=15069, face_quan_num=16, zquant_dim=64, n_embed=256,
-        decoder_out_bias=True,
+        decoder_out_bias=True, post_pre_linear=False,
     )
     fdm = FDMConfig(
         feature_dim=1024, n_head=8, num_layers=8,

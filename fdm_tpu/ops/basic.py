@@ -1,0 +1,33 @@
+"""Primitive elementwise / normalization ops shared across the framework."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax.nn
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    """Mish activation: x * tanh(softplus(x)) (torch nn.Mish equivalent)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def instance_norm_1d(
+    x: jnp.ndarray, eps: float = 1e-5, axis: int = 1
+) -> jnp.ndarray:
+    """InstanceNorm over the time axis of a (B, L, C) sequence, per channel.
+
+    Equivalent to torch nn.InstanceNorm1d (affine=False,
+    track_running_stats=False) applied to the (B, C, L) layout the reference
+    uses in its VQ-VAE conv stacks (reference models/vq_vae.py:146). We keep
+    the TPU-friendly (B, L, C) layout and normalize over L.
+    """
+    mean = jnp.mean(x, axis=axis, keepdims=True)
+    var = jnp.var(x, axis=axis, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def replicate_pad_1d(x: jnp.ndarray, pad: int, axis: int = 1) -> jnp.ndarray:
+    """Edge-replicate padding along the time axis (torch padding_mode='replicate')."""
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis] = (pad, pad)
+    return jnp.pad(x, pad_width, mode="edge")

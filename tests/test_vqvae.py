@@ -1,0 +1,109 @@
+"""VQ-VAE codec: shape contracts, jit, straight-through training signal."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fdm_tpu.configs import VQVAEConfig
+from fdm_tpu.codec import VQAutoEncoder, frames_to_tokens, tokens_to_frames
+
+
+def tiny_config(**kw):
+    base = dict(
+        in_dim=36, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=48, face_quan_num=4, zquant_dim=8, n_embed=16,
+    )
+    base.update(kw)
+    return VQVAEConfig(**base)
+
+
+def test_token_frame_regroup_roundtrip():
+    x = jnp.arange(2 * 6 * 32, dtype=jnp.float32).reshape(2, 6, 32)
+    t = frames_to_tokens(x, 4)
+    assert t.shape == (2, 24, 8)
+    np.testing.assert_array_equal(tokens_to_frames(t, 4), x)
+
+
+def test_encode_quant_decode_shapes():
+    cfg = tiny_config()
+    model = VQAutoEncoder(cfg)
+    x = jnp.ones((2, 10, cfg.in_dim))
+    template = jnp.zeros((2, 1, cfg.in_dim))
+    params = model.init(jax.random.PRNGKey(0), x, template)
+    recon, loss, perp = model.apply(params, x, template)
+    assert recon.shape == x.shape
+    assert loss.shape == () and perp.shape == ()
+
+    z = model.apply(params, x - template, method=model.encode)
+    assert z.shape == (2, 10 * cfg.face_quan_num, cfg.zquant_dim)
+    q = model.apply(params, z, method=model.quant)
+    assert q.z_q.shape == z.shape
+    dec = model.apply(params, q.z_q, method=model.decode)
+    assert dec.shape == x.shape
+
+
+def test_emotion_conditioned_variant():
+    cfg = tiny_config(emotion_classes=7, n_embed=7 * 4)
+    model = VQAutoEncoder(cfg)
+    x = jnp.ones((2, 6, cfg.in_dim))
+    template = jnp.zeros((2, 1, cfg.in_dim))
+    one_hot = jnp.eye(7)[:2]
+    params = model.init(jax.random.PRNGKey(0), x, template, one_hot)
+    recon, loss, _ = model.apply(params, x, template, one_hot)
+    assert recon.shape == x.shape
+    # encoding requires the one-hot
+    with pytest.raises(ValueError):
+        model.apply(params, x, method=model.encode)
+
+
+def test_quant_factor_downsamples_time():
+    cfg = tiny_config(quant_factor=2)
+    model = VQAutoEncoder(cfg)
+    x = jnp.ones((1, 16, cfg.in_dim))
+    template = jnp.zeros((1, 1, cfg.in_dim))
+    params = model.init(jax.random.PRNGKey(0), x, template)
+    z = model.apply(params, x, method=model.encode)
+    # two stride/pool-2 stages: 16 -> 4 frames
+    assert z.shape == (1, 4 * cfg.face_quan_num, cfg.zquant_dim)
+    dec = model.apply(params, model.apply(params, z, method=model.quant).z_q,
+                      method=model.decode)
+    assert dec.shape == x.shape
+
+
+def test_roundtrip_is_jittable_and_finite():
+    cfg = tiny_config()
+    model = VQAutoEncoder(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, cfg.in_dim))
+    template = jnp.zeros((2, 1, cfg.in_dim))
+    params = model.init(jax.random.PRNGKey(0), x, template)
+
+    @jax.jit
+    def roundtrip(p, x_in):
+        return model.apply(p, x_in, template)[0]
+
+    out = roundtrip(params, x)
+    assert jnp.isfinite(out).all()
+
+
+def test_gradients_flow_through_straight_through():
+    cfg = tiny_config()
+    model = VQAutoEncoder(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 6, cfg.in_dim))
+    template = jnp.zeros((1, 1, cfg.in_dim))
+    params = model.init(jax.random.PRNGKey(0), x, template)
+
+    def loss_fn(p):
+        recon, qloss, _ = model.apply(p, x, template)
+        return jnp.mean(jnp.abs(recon - x)) + qloss
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda g: jnp.abs(g).sum(), grads)
+    )
+    # encoder, decoder AND codebook all receive gradient
+    g_enc = jax.tree_util.tree_leaves(grads["params"]["encoder"])
+    g_cb = grads["params"]["codebook"]
+    assert sum(jnp.abs(g).sum() for g in g_enc) > 0
+    assert jnp.abs(g_cb).sum() > 0
+    assert all(jnp.isfinite(g).all() for g in flat)

@@ -1,0 +1,258 @@
+"""FDM — the Facial Denoiser Model (stage-2 transformer denoiser).
+
+One configurable flax module covering the reference's three variants
+(models/fdm.py [BIWI], fdm_vocaset.py [VOCASET], fdm_vqvae_mead.py [MEAD]),
+decoder architecture only — the reference's struct='Enc' branch collapses the
+whole sequence to a single output token (reference models/fdm.py:86-91,
+feat_out[-1:]) and is vestigial; every demo builds struct='Dec'
+(reference demo/demo_biwi.py:37).
+
+TPU-first redesign (numerically exact w.r.t. the reference denoiser):
+
+  * the audio encoder and the audio_extract projection are HOISTED out of the
+    denoise step: `prepare_audio` runs once per clip; the per-step `denoise`
+    only adds the timestep embedding (the reference recomputes HuBERT + the
+    projection in all 1000 steps, reference fdm_vqvae_mead.py:70-79);
+  * the diagonal-only cross-attention memory mask means softmax over a single
+    allowed key — cross-attention REDUCES to out_proj(v_proj(audio_t)) per
+    frame. The fast path computes exactly that: two (T, D) GEMMs instead of a
+    masked (T, S) attention. `cross_mode='full'` keeps the general masked
+    implementation for non-diagonal masks;
+  * timestep embedding is a table lookup (one-hot(1000) @ W == W[t]);
+  * ALiBi causal bias is a precomputed (H, L, L) table sliced per length —
+    padding always sits at the sequence tail, so causal masking already
+    isolates valid queries from padded keys.
+
+Parameter tree matches fdm_tpu.utils.torch_import.convert_fdm for direct
+loading of reference stage-2 checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdm_tpu.configs import FDMConfig
+from fdm_tpu.ops.basic import mish
+from fdm_tpu.ops.masks import alibi_biased_mask
+from fdm_tpu.ops.positional import periodic_positional_encoding, sinusoidal_table
+
+
+class TorchMHA(nn.Module):
+    """Multi-head attention with torch nn.MultiheadAttention semantics
+    (per-head 1/sqrt(head_dim) scaling, packed-equivalent q/k/v/out Denses)."""
+
+    dim: int
+    n_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mem, bias: Optional[jnp.ndarray] = None):
+        """x: (B, T, D) queries; mem: (B, S, D) keys/values;
+        bias: additive attention bias (H, T, S) or (T, S)."""
+        D, H = self.dim, self.n_head
+        hd = D // H
+        q = nn.Dense(D, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(D, dtype=self.dtype, name="k")(mem)
+        v = nn.Dense(D, dtype=self.dtype, name="v")(mem)
+        B, T, _ = q.shape
+        S = k.shape[1]
+        q = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhid,bhjd->bhij", q, k) * (hd**-0.5)
+        if bias is not None:
+            if bias.ndim == 2:
+                bias = bias[None]
+            logits = logits + bias[None].astype(logits.dtype)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+        return nn.Dense(D, dtype=self.dtype, name="out")(out)
+
+
+class AlignedCrossAttention(nn.Module):
+    """Exact evaluation of cross-attention under the reference's diagonal-only
+    memory mask (fdm_tpu.ops.masks.enc_dec_diagonal_allowed): the only
+    attendable key for frame t is audio frame t, so softmax weight is 1 and
+    the q/k projections cancel out of the math. Parameters q/k still exist so
+    reference checkpoints load; they are unused in this mode."""
+
+    dim: int
+    n_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mem):
+        D = self.dim
+        # q/k are mathematically cancelled by the singleton softmax; calling
+        # them keeps the params registered for checkpoint loading and XLA
+        # dead-code-eliminates the unused GEMMs.
+        _ = nn.Dense(D, dtype=self.dtype, name="q")(x)
+        _ = nn.Dense(D, dtype=self.dtype, name="k")(mem)
+        v = nn.Dense(D, dtype=self.dtype, name="v")(mem)
+        return nn.Dense(D, dtype=self.dtype, name="out")(v)
+
+
+class FDM(nn.Module):
+    config: FDMConfig
+    dtype: jnp.dtype = jnp.float32
+    cross_mode: str = "fast"  # "fast" (diagonal-exact) | "full" (masked attn)
+
+    def setup(self):
+        cfg = self.config
+        D = cfg.feature_dim
+        self.audio_extract_0 = nn.Dense(D, dtype=self.dtype)
+        self.audio_extract_2 = nn.Dense(D, dtype=self.dtype)
+        self.time_embed = nn.Dense(D, dtype=self.dtype)  # kernel is the table
+        self.style_embed = nn.Dense(D, dtype=self.dtype)
+        if cfg.emotion_classes:
+            self.emotion_embed = nn.Dense(D, dtype=self.dtype)
+        self.latent_encoder = nn.Dense(D, dtype=self.dtype)
+        self.latent_decoder = nn.Dense(
+            D, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+        )
+        layers = []
+        for i in range(cfg.num_layers):
+            layers.append(
+                _DecoderLayer(
+                    D, cfg.n_head, cfg.ffn_dim, cfg.dropout, self.dtype,
+                    self.cross_mode, name=f"layer_{i}",
+                )
+            )
+        self.layers = layers
+
+        self._alibi = alibi_biased_mask(cfg.n_head, cfg.max_seq_len, cfg.alibi_period)
+        if cfg.positional_encoding == "periodic":
+            self._pe = periodic_positional_encoding(cfg.pe_period, D, cfg.max_seq_len)
+        else:
+            self._pe = sinusoidal_table(cfg.max_seq_len, D)
+
+    def prepare_audio(self, audio_hidden: jnp.ndarray) -> jnp.ndarray:
+        """Project encoder hidden states to denoiser features — ONCE per clip.
+
+        audio_hidden: (B, N, audio_dim) at the encoder frame rate (already
+        paired/interpolated to the animation frame rate by fdm_tpu.audio).
+        Reference equivalent: the audio reshape + audio_extract MLP re-run
+        per denoise step (fdm_vqvae_mead.py:73-79).
+        """
+        x = self.audio_extract_0(audio_hidden)
+        x = mish(x)
+        return self.audio_extract_2(x)
+
+    def _time_embedding(self, t: jnp.ndarray) -> jnp.ndarray:
+        """(B,) int32 -> (B, D) timestep embedding.
+
+        Reference builds a dense one-hot(1000) and a Linear+Mish
+        (fdm_vqvae_mead.py:27-32); one_hot @ W is a (B,1000)x(1000,D) GEMM —
+        trivial on the MXU and exactly a row lookup of the kernel."""
+        one_hot = jax.nn.one_hot(
+            t, self.config.num_timesteps, dtype=self.dtype
+        )
+        return mish(self.time_embed(one_hot))
+
+    def denoise(
+        self,
+        x_t: jnp.ndarray,                # (B, T*tokens_per_frame, zquant)
+        t: jnp.ndarray,                  # (B,) int32
+        audio_feat: jnp.ndarray,         # (B, T, D) from prepare_audio
+        style_one_hot: jnp.ndarray,      # (B, style_classes)
+        emotion_one_hot: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """One denoiser evaluation: predicts clean x0 latents from x_t."""
+        cfg = self.config
+        B, L, C = x_t.shape
+        tpf = cfg.tokens_per_frame
+        # token-major -> frame-major (B, T, tokens*zquant == feature_dim)
+        x = x_t.reshape(B, L // tpf, tpf * C)
+        T = x.shape[1]
+
+        if audio_feat.shape[1] != T:
+            raise ValueError(
+                f"audio_feat frames ({audio_feat.shape[1]}) must match latent "
+                f"frames ({T}); align/trim in the data pipeline"
+            )
+
+        x = self.latent_encoder(x)
+        if cfg.latent_encoder_mish:
+            x = mish(x)
+
+        style = self.style_embed(style_one_hot.astype(self.dtype))
+        x = x + style[:, None, :]
+        if cfg.emotion_classes:
+            if emotion_one_hot is None:
+                raise ValueError("emotion-conditioned FDM requires emotion_one_hot")
+            emo = self.emotion_embed(emotion_one_hot.astype(self.dtype))
+            x = x + emo[:, None, :]
+
+        time = self._time_embedding(t)                       # (B, D)
+        mem = audio_feat + time[:, None, :]
+
+        x = x + jnp.asarray(self._pe[:T], dtype=x.dtype)[None]
+        bias = jnp.asarray(self._alibi[:, :T, :T])
+        for layer in self.layers:
+            x = layer(x, mem, bias, deterministic)
+
+        x = self.latent_decoder(x)
+        return x.reshape(B, L, C)
+
+    def __call__(self, x_t, t, audio_hidden, style_one_hot,
+                 emotion_one_hot=None, deterministic=True):
+        """Convenience end-to-end forward (audio projection + denoise) —
+        matches the reference FDM.forward contract. Samplers should instead
+        call prepare_audio once and denoise per step."""
+        audio_feat = self.prepare_audio(audio_hidden)
+        return self.denoise(
+            x_t, t, audio_feat, style_one_hot, emotion_one_hot, deterministic
+        )
+
+
+class _DecoderLayer(nn.Module):
+    """torch nn.TransformerDecoderLayer (batch_first, post-LN, ReLU FFN):
+    x += self_attn; LN1; x += cross_attn; LN2; x += FFN; LN3."""
+
+    dim: int
+    n_head: int
+    ffn_dim: int
+    dropout: float
+    dtype: jnp.dtype
+    cross_mode: str
+
+    def setup(self):
+        self.self_attn = TorchMHA(self.dim, self.n_head, self.dtype)
+        if self.cross_mode == "fast":
+            self.cross_attn = AlignedCrossAttention(self.dim, self.n_head, self.dtype)
+        else:
+            self.cross_attn = TorchMHA(self.dim, self.n_head, self.dtype)
+        self.linear1 = nn.Dense(self.ffn_dim, dtype=self.dtype)
+        self.linear2 = nn.Dense(self.dim, dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x, mem, self_bias, deterministic=True):
+        h = self.self_attn(x, x, self_bias)
+        x = self.norm1(x + self.drop(h, deterministic=deterministic))
+        if self.cross_mode == "fast":
+            h = self.cross_attn(x, mem)
+        else:
+            T, S = x.shape[1], mem.shape[1]
+            # diagonal alignment: -inf off the diagonal (general path)
+            allowed = jnp.eye(T, S, dtype=bool)
+            bias = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
+            h = self.cross_attn(x, mem, bias)
+        x = self.norm2(x + self.drop(h, deterministic=deterministic))
+        h = self.linear2(
+            self.drop(
+                nn.relu(self.linear1(x)), deterministic=deterministic
+            )
+        )
+        x = self.norm3(x + self.drop(h, deterministic=deterministic))
+        return x

@@ -1,0 +1,211 @@
+"""FDM denoiser: mask parity vs the reference, full-stack parity vs a torch
+replica assembled from torch primitives (nn.TransformerDecoder etc.), and the
+fast aligned-cross-attention path vs the full masked path."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn_t
+
+from fdm_tpu.configs import FDMConfig
+from fdm_tpu.models import FDM
+from fdm_tpu.ops.masks import alibi_biased_mask, enc_dec_diagonal_allowed
+from fdm_tpu.ops.positional import sinusoidal_table
+from fdm_tpu.utils.torch_import import convert_fdm
+
+from reference_oracle import import_reference_module
+
+
+def test_alibi_mask_matches_reference():
+    ref = import_reference_module("models.fdm_vqvae_mead")
+    for n_head, period in [(4, 30), (8, 30), (4, 25), (6, 30)]:
+        ref_mask = ref.init_biased_mask(
+            n_head=n_head, max_seq_len=60, period=period
+        ).numpy()
+        ours = alibi_biased_mask(n_head, 60, period)
+        np.testing.assert_allclose(ours, ref_mask, rtol=1e-6)
+
+
+def test_enc_dec_mask_matches_reference():
+    ref = import_reference_module("models.fdm_vqvae_mead")
+    t_mask = ref.enc_dec_mask(torch.device("cpu"), "BIWI", 7, 7).numpy()
+    ours_allowed = enc_dec_diagonal_allowed(7, 7)
+    # reference True = masked; ours True = allowed
+    np.testing.assert_array_equal(ours_allowed, ~t_mask)
+
+
+class TorchFDMReplica(nn_t.Module):
+    """Independent torch assembly of the MEAD denoiser math
+    (mirrors reference fdm_vqvae_mead.py:65-104 behavior, audio encoder
+    excluded — it receives precomputed hidden states)."""
+
+    def __init__(self, cfg: FDMConfig, alibi, torch_pe):
+        super().__init__()
+        D = cfg.feature_dim
+        self.cfg = cfg
+        self.audio_extract = nn_t.Sequential(
+            nn_t.Linear(cfg.audio_dim * cfg.audio_pair_factor, D),
+            nn_t.Mish(),
+            nn_t.Linear(D, D),
+        )
+        self.time_embedd = nn_t.Sequential(
+            nn_t.Linear(cfg.num_timesteps, D), nn_t.Mish()
+        )
+        self.emotion_embedd = nn_t.Linear(cfg.emotion_classes, D)
+        self.style_embedd = nn_t.Linear(cfg.style_classes, D)
+        self.latent_encoder = nn_t.Sequential(nn_t.Linear(D, D), nn_t.Mish())
+        layer = nn_t.TransformerDecoderLayer(
+            d_model=D, nhead=cfg.n_head, dim_feedforward=2 * D, batch_first=True
+        )
+        self.decoder = nn_t.TransformerDecoder(layer, num_layers=cfg.num_layers)
+        self.latent_decoder = nn_t.Linear(D, D)
+        self.alibi = alibi
+        self.pe = torch_pe
+
+    def forward(self, x_t, t, audio_hidden, emo, style):
+        cfg = self.cfg
+        B, L, C = x_t.shape
+        tpf = cfg.tokens_per_frame
+        x = x_t.reshape(B, L // tpf, tpf * C)
+        T = x.shape[1]
+        audio = audio_hidden.reshape(
+            B, audio_hidden.shape[1] // cfg.audio_pair_factor,
+            audio_hidden.shape[2] * cfg.audio_pair_factor,
+        )[:, :T]
+        af = self.audio_extract(audio)
+        vf = self.latent_encoder(x)
+        one_hot_t = torch.zeros(B, cfg.num_timesteps)
+        one_hot_t[torch.arange(B), t] = 1.0
+        time = self.time_embedd(one_hot_t)
+        vf = vf + self.style_embedd(style)[:, None] + self.emotion_embedd(emo)[:, None]
+        af = af + time[:, None]
+        vf = vf + self.pe[:T][None]
+        tgt_mask = self.alibi[:, :T, :T]
+        mem_mask = torch.from_numpy(~enc_dec_diagonal_allowed(T, T))
+        out = self.decoder(vf, af, tgt_mask=tgt_mask, memory_mask=mem_mask)
+        out = self.latent_decoder(out)
+        return out.reshape(B, L, C)
+
+
+def small_cfg():
+    return FDMConfig(
+        feature_dim=32, n_head=4, num_layers=2, audio_dim=24,
+        audio_pair_factor=2, tokens_per_frame=4, emotion_classes=7,
+        style_classes=5, num_timesteps=50, max_seq_len=40, alibi_period=30,
+    )
+
+
+def replica_state_dict_to_ours(replica, cfg):
+    sd = {k: v for k, v in replica.state_dict().items()}
+    # map replica names onto the reference names convert_fdm expects
+    renamed = {}
+    for k, v in sd.items():
+        k2 = (
+            k.replace("decoder.layers.", "transformer_decoder.layers.")
+        )
+        renamed[k2] = v
+    renamed["latent_encoder.0.weight"] = renamed.pop("latent_encoder.0.weight")
+    return convert_fdm(renamed, cfg)
+
+
+def test_fdm_matches_torch_replica_full_and_fast():
+    torch.manual_seed(0)
+    cfg = small_cfg()
+    alibi = torch.from_numpy(
+        alibi_biased_mask(cfg.n_head, cfg.max_seq_len, cfg.alibi_period)
+    )
+    pe = torch.from_numpy(sinusoidal_table(cfg.max_seq_len, cfg.feature_dim))
+    replica = TorchFDMReplica(cfg, alibi, pe).eval()
+
+    B, T = 1, 10
+    L = T * cfg.tokens_per_frame
+    C = cfg.feature_dim // cfg.tokens_per_frame
+    x_t = torch.randn(B, L, C)
+    audio_hidden = torch.randn(B, T * cfg.audio_pair_factor, cfg.audio_dim)
+    emo = torch.zeros(B, 7); emo[0, 2] = 1
+    style = torch.zeros(B, 5); style[0, 1] = 1
+    t_step = torch.tensor([7])
+
+    with torch.no_grad():
+        ref_out = replica(x_t, t_step, audio_hidden, emo, style).numpy()
+
+    params = replica_state_dict_to_ours(replica, cfg)
+    # our model consumes audio already paired to frame-major layout
+    audio_paired = jnp.asarray(
+        audio_hidden.reshape(B, T, cfg.audio_dim * cfg.audio_pair_factor).numpy()
+    )
+
+    for mode in ["full", "fast"]:
+        model = FDM(cfg, cross_mode=mode)
+        out = model.apply(
+            params,
+            jnp.asarray(x_t.numpy()),
+            jnp.asarray(t_step.numpy()),
+            audio_paired,
+            jnp.asarray(style.numpy()),
+            jnp.asarray(emo.numpy()),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), ref_out, rtol=1e-3, atol=2e-4,
+            err_msg=f"cross_mode={mode}",
+        )
+
+
+def test_prepare_audio_hoisting_equivalence():
+    """denoise(prepare_audio(a)) == __call__(a) — the hoisted path is exact."""
+    cfg = small_cfg()
+    model = FDM(cfg)
+    B, T = 2, 6
+    L = T * cfg.tokens_per_frame
+    C = cfg.feature_dim // cfg.tokens_per_frame
+    x_t = jax.random.normal(jax.random.PRNGKey(0), (B, L, C))
+    audio = jax.random.normal(
+        jax.random.PRNGKey(1), (B, T, cfg.audio_dim * cfg.audio_pair_factor)
+    )
+    style = jnp.eye(5)[:B]
+    emo = jnp.eye(7)[:B]
+    t = jnp.array([3, 11], dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(2), x_t, t, audio, style, emo)
+
+    direct = model.apply(params, x_t, t, audio, style, emo)
+    feat = model.apply(params, audio, method="prepare_audio")
+    hoisted = model.apply(params, x_t, t, feat, style, emo, method="denoise")
+    np.testing.assert_allclose(direct, hoisted, rtol=1e-6)
+
+
+def test_zero_init_output_head():
+    """latent_decoder is zero-initialized like the reference
+    (fdm_vqvae_mead.py:50-52): a fresh FDM predicts exactly zero."""
+    cfg = small_cfg()
+    model = FDM(cfg)
+    B, T = 1, 4
+    L, C = T * cfg.tokens_per_frame, cfg.feature_dim // cfg.tokens_per_frame
+    x_t = jax.random.normal(jax.random.PRNGKey(0), (B, L, C))
+    audio = jnp.ones((B, T, cfg.audio_dim * cfg.audio_pair_factor))
+    style = jnp.eye(5)[:1]
+    emo = jnp.eye(7)[:1]
+    t = jnp.array([0], dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), x_t, t, audio, style, emo)
+    out = model.apply(params, x_t, t, audio, style, emo)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_audio_frame_mismatch_raises():
+    cfg = small_cfg()
+    model = FDM(cfg)
+    B, T = 1, 4
+    L, C = T * cfg.tokens_per_frame, cfg.feature_dim // cfg.tokens_per_frame
+    x_t = jnp.zeros((B, L, C))
+    audio = jnp.zeros((B, T + 1, cfg.audio_dim * cfg.audio_pair_factor))
+    style = jnp.eye(5)[:1]
+    emo = jnp.eye(7)[:1]
+    t = jnp.array([0], dtype=jnp.int32)
+    try:
+        model.init(jax.random.PRNGKey(0), x_t, t, audio, style, emo)
+        raised = False
+    except ValueError as e:
+        raised = "must match latent" in str(e)
+    assert raised

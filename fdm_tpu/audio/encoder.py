@@ -1,0 +1,225 @@
+"""Self-supervised speech encoders (wav2vec 2.0 / HuBERT) in flax.
+
+TPU-native reimplementation of the audio stack the reference pulls from HF
+transformers (reference models/wav2vec.py:69-143, models/hubert.py:72-146):
+a 7-layer strided conv feature extractor (49.8 ms hop -> ~50 Hz frames), a
+feature projection, a grouped conv positional embedding, and a 12/24-layer
+transformer. Weights convert from HF checkpoints via fdm_tpu.audio.convert.
+
+Both HF layout variants are covered:
+  * feat_extract_norm='group' + post-LN encoder  (wav2vec2-base-960h)
+  * feat_extract_norm='layer' + pre-LN ("stable") encoder + conv bias
+    (hubert-large-ls960-ft)
+
+The reference wrapper's behaviors are provided as explicit knobs instead of
+forward-time surgery: even-length trim / frame cap (reference
+models/hubert.py:95-98) happen in fdm_tpu.audio.features, and SpecAugment-
+style time masking is an optional training argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AudioEncoderConfig:
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: tuple = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: tuple = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: tuple = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    feat_extract_norm: str = "group"   # "group" | "layer"
+    do_stable_layer_norm: bool = False
+    layer_norm_eps: float = 1e-5
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    feat_proj_dropout: float = 0.0
+    hidden_dropout: float = 0.1
+    activation: str = "gelu"
+
+
+def wav2vec2_base_config() -> AudioEncoderConfig:
+    """facebook/wav2vec2-base-960h (reference models/fdm.py:18)."""
+    return AudioEncoderConfig()
+
+
+def hubert_large_config() -> AudioEncoderConfig:
+    """facebook/hubert-large-ls960-ft (reference models/fdm_vqvae_mead.py:17)."""
+    return AudioEncoderConfig(
+        hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096,
+        conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
+    )
+
+
+def get_encoder_config(name: str) -> AudioEncoderConfig:
+    if name == "wav2vec2-base":
+        return wav2vec2_base_config()
+    if name == "hubert-large":
+        return hubert_large_config()
+    raise ValueError(f"unknown audio encoder {name!r}")
+
+
+class ConvFeatureExtractor(nn.Module):
+    """Raw waveform (B, S) -> (B, N, conv_dim[-1]) at ~50 Hz."""
+
+    config: AudioEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        x = wav[:, :, None]  # (B, S, 1)
+        for i, (dim, k, s) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+        ):
+            x = nn.Conv(
+                dim, (k,), strides=(s,), padding="VALID",
+                use_bias=cfg.conv_bias, dtype=self.dtype, name=f"conv_{i}",
+            )(x)
+            if cfg.feat_extract_norm == "group" and i == 0:
+                # HF: GroupNorm(num_groups=dim, affine) == per-channel
+                # instance norm with scale/bias
+                x = nn.GroupNorm(
+                    num_groups=dim, epsilon=cfg.layer_norm_eps,
+                    dtype=self.dtype, name="group_norm",
+                )(x)
+            elif cfg.feat_extract_norm == "layer":
+                x = nn.LayerNorm(
+                    epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                    name=f"conv_ln_{i}",
+                )(x)
+            x = jax.nn.gelu(x, approximate=False)
+        return x
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding (kernel 128, groups 16) with the
+    HF same-padding trick (pad 64, trim one frame for even kernels)."""
+
+    config: AudioEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        k = cfg.num_conv_pos_embeddings
+        pad = k // 2
+        h = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        h = nn.Conv(
+            cfg.hidden_size, (k,),
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            padding="VALID", dtype=self.dtype, name="conv",
+        )(h)
+        if k % 2 == 0:
+            h = h[:, :-1]
+        return jax.nn.gelu(h, approximate=False)
+
+
+class EncoderLayer(nn.Module):
+    config: AudioEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        D = cfg.hidden_size
+        self.q = nn.Dense(D, dtype=self.dtype)
+        self.k = nn.Dense(D, dtype=self.dtype)
+        self.v = nn.Dense(D, dtype=self.dtype)
+        self.out = nn.Dense(D, dtype=self.dtype)
+        self.attn_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype)
+        self.fc1 = nn.Dense(cfg.intermediate_size, dtype=self.dtype)
+        self.fc2 = nn.Dense(D, dtype=self.dtype)
+        self.final_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype)
+
+    def _attention(self, x):
+        cfg = self.config
+        B, N, D = x.shape
+        H = cfg.num_heads
+        hd = D // H
+        q = self.q(x).reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+        k = self.k(x).reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+        v = self.v(x).reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhid,bhjd->bhij", q, k) * (hd**-0.5)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        o = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        return self.out(o.transpose(0, 2, 1, 3).reshape(B, N, D))
+
+    def _ffn(self, x):
+        return self.fc2(jax.nn.gelu(self.fc1(x), approximate=False))
+
+    def __call__(self, x):
+        if self.config.do_stable_layer_norm:
+            x = x + self._attention(self.attn_ln(x))
+            x = x + self._ffn(self.final_ln(x))
+        else:
+            x = self.attn_ln(x + self._attention(x))
+            x = self.final_ln(x + self._ffn(x))
+        return x
+
+
+class AudioEncoder(nn.Module):
+    """Full encoder: waveform -> (B, N, hidden) last hidden states at ~50 Hz.
+
+    `extract_features` / `encode_features` are exposed separately so the
+    stage-2 trainer can freeze the conv extractor exactly like the reference
+    (feature_extractor._freeze_parameters(), models/fdm_vqvae_mead.py:19).
+    """
+
+    config: AudioEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.feature_extractor = ConvFeatureExtractor(cfg, self.dtype)
+        self.fp_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype)
+        self.fp_proj = nn.Dense(cfg.hidden_size, dtype=self.dtype)
+        self.pos_conv = PositionalConvEmbedding(cfg, self.dtype)
+        self.enc_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype)
+        self.encoder_layers = [
+            EncoderLayer(cfg, self.dtype, name=f"layer_{i}")
+            for i in range(cfg.num_layers)
+        ]
+
+    def extract_features(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """(B, S) waveform -> (B, N, conv_dim[-1]) conv features (frozen in
+        stage-2 training)."""
+        return self.feature_extractor(wav)
+
+    def encode_features(
+        self,
+        features: jnp.ndarray,
+        time_mask: Optional[jnp.ndarray] = None,
+        mask_embedding: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Conv features -> transformer hidden states. `time_mask` (B, N)
+        optionally replaces masked frames with `mask_embedding`
+        (SpecAugment-style, reference models/hubert.py:112-122)."""
+        x = self.fp_ln(features)
+        x = self.fp_proj(x)
+        if time_mask is not None and mask_embedding is not None:
+            x = jnp.where(time_mask[..., None], mask_embedding, x)
+        x = x + self.pos_conv(x)
+        if not self.config.do_stable_layer_norm:
+            x = self.enc_ln(x)
+        for layer in self.encoder_layers:
+            x = layer(x)
+        if self.config.do_stable_layer_norm:
+            x = self.enc_ln(x)
+        return x
+
+    def __call__(self, wav: jnp.ndarray, even_trim: bool = True) -> jnp.ndarray:
+        feats = self.extract_features(wav)
+        if even_trim and feats.shape[1] % 2 != 0:
+            feats = feats[:, :-1]
+        return self.encode_features(feats)

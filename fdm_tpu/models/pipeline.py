@@ -1,0 +1,282 @@
+"""LG-LDM pipeline: frozen (E)VQ-VAE codec + FDM denoiser + DDPM/DDIM sampling.
+
+Capability parity with the reference's stage-2 composition
+(train/train_diffusion_mead.py:25-105, samples/sample_diffusion_*.py,
+demo/demo_3d_mead.py:77-112) as pure jittable functions:
+
+  stage2_train_loss : latent x0-loss + end-to-end vertex reconstruction loss
+                      through the frozen quantize+decode
+  generate          : audio features -> latents (scan sampler, CFG folded into
+                      one doubled-batch forward) -> quantize -> decode ->
+                      vertices; the whole chain is one XLA program, nothing
+                      leaves the device.
+
+Classifier-free guidance mirrors reference utiles/classifierfree.py:8-21
+(out_uncond + scale * (out_cond - out_uncond)) with the unconditional branch
+zeroing the one-hots like FDM.mask_cond(force_mask=True)
+(reference fdm_vqvae_mead.py:54-58).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fdm_tpu.configs import PipelineConfig
+from fdm_tpu.codec import VQAutoEncoder
+from fdm_tpu.codec import quantizer as quant_lib
+from fdm_tpu.diffusion import (
+    DiffusionSchedule,
+    ddim_sample,
+    ddpm_sample,
+    make_schedule,
+    p_losses,
+)
+from fdm_tpu.models.fdm import FDM
+
+
+@dataclasses.dataclass(frozen=True)
+class LatentDiffusion:
+    """Stateless bundle of modules + schedule. Parameters travel separately
+    (vq_params, fdm_params) so the train step can donate/freeze them
+    independently."""
+
+    config: PipelineConfig
+    schedule: DiffusionSchedule
+    vqvae: VQAutoEncoder
+    fdm: FDM
+
+    @classmethod
+    def create(cls, config: PipelineConfig, dtype=jnp.float32,
+               cross_mode: str = "fast") -> "LatentDiffusion":
+        return cls(
+            config=config,
+            schedule=make_schedule(
+                config.diffusion.timesteps, config.diffusion.cosine_s
+            ),
+            vqvae=VQAutoEncoder(config.vqvae, dtype=dtype),
+            fdm=FDM(config.fdm, dtype=dtype, cross_mode=cross_mode),
+        )
+
+    # ---------------- stage 1 training ----------------
+
+    def stage1_train_loss(
+        self,
+        vq_params,
+        motion: jnp.ndarray,           # (B, T, in_dim)
+        template: jnp.ndarray,         # (B, 1, in_dim)
+        emotion_one_hot: Optional[jnp.ndarray] = None,
+        frame_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, dict]:
+        """VQ-VAE objective: masked L1 reconstruction + commitment/codebook
+        loss (reference train/train_mead_vqvae.py:136-141)."""
+        token_mask = (
+            jnp.repeat(frame_mask, self.config.vqvae.face_quan_num, axis=1)
+            if frame_mask is not None else None
+        )
+        recon, quant_loss, perplexity = self.vqvae.apply(
+            vq_params, motion, template, emotion_one_hot, token_mask
+        )
+        err = jnp.abs(recon - motion)
+        if frame_mask is not None:
+            w = frame_mask[..., None]
+            recon_loss = jnp.sum(err * w) / jnp.maximum(
+                jnp.sum(w) * err.shape[-1], 1.0
+            )
+        else:
+            recon_loss = jnp.mean(err)
+        total = recon_loss + quant_loss
+        return total, {
+            "recon_loss": recon_loss,
+            "quant_loss": quant_loss,
+            "perplexity": perplexity,
+            "loss": total,
+        }
+
+    # ---------------- stage 2 training ----------------
+
+    def stage2_train_loss(
+        self,
+        vq_params,
+        fdm_params,
+        key: jax.Array,
+        motion: jnp.ndarray,          # (B, T, in_dim) vertex displacements+template
+        template: jnp.ndarray,        # (B, 1, in_dim)
+        audio_hidden: jnp.ndarray,    # (B, T, audio_dim*pair) frame-aligned
+        style_one_hot: jnp.ndarray,
+        emotion_one_hot: Optional[jnp.ndarray] = None,
+        frame_mask: Optional[jnp.ndarray] = None,  # (B, T) 1=real frame
+    ) -> Tuple[jnp.ndarray, dict]:
+        """Denoise loss + frozen-codec vertex reconstruction loss
+        (reference train/train_diffusion_mead.py:87-103)."""
+        cfg = self.config
+        B = motion.shape[0]
+        t_key, noise_key, cfg_key = jax.random.split(key, 3)
+
+        # stage 1 is frozen: no gradient reaches the codec parameters, but
+        # gradients still flow through the decode activations to the FDM
+        # (the reference freezes by excluding the VQ from the optimizer,
+        # train/train_diffusion_mead.py:32)
+        vq_params = jax.lax.stop_gradient(vq_params)
+        latent = self.vqvae.apply(
+            vq_params, motion - template, emotion_one_hot, method="encode"
+        )
+
+        t = jax.random.randint(
+            t_key, (B,), 0, self.schedule.num_timesteps, dtype=jnp.int32
+        )
+        noise = jax.random.normal(noise_key, latent.shape, dtype=latent.dtype)
+
+        # classifier-free-guidance conditioning dropout (Bernoulli 0.1 — the
+        # reference defines mask_cond but never wires it into forward,
+        # fdm_vqvae_mead.py:54-62; we implement the evident intent)
+        if cfg.fdm.cfg_mask_prob > 0:
+            drop = jax.random.bernoulli(
+                cfg_key, cfg.fdm.cfg_mask_prob, (B, 1)
+            ).astype(style_one_hot.dtype)
+            style_in = style_one_hot * (1.0 - drop)
+            emo_in = (
+                emotion_one_hot * (1.0 - drop)
+                if emotion_one_hot is not None else None
+            )
+        else:
+            style_in, emo_in = style_one_hot, emotion_one_hot
+
+        audio_feat = self.fdm.apply(
+            fdm_params, audio_hidden, method="prepare_audio"
+        )
+
+        def denoise_fn(x_t, t_in):
+            return self.fdm.apply(
+                fdm_params, x_t, t_in, audio_feat, style_in, emo_in,
+                method="denoise",
+            )
+
+        token_mask = (
+            jnp.repeat(frame_mask, cfg.vqvae.face_quan_num, axis=1)
+            if frame_mask is not None else None
+        )
+        denoise_loss, x_recon = p_losses(
+            self.schedule, denoise_fn, latent, t, noise,
+            loss_type=cfg.diffusion.loss_type, mask=token_mask,
+        )
+
+        # end-to-end vertex reconstruction through the frozen codec
+        q = self.vqvae.apply(
+            vq_params, x_recon, emotion_one_hot, token_mask,
+            method="quant",
+        )
+        recon_motion = self.vqvae.apply(vq_params, q.z_q, method="decode")
+        recon_motion = recon_motion + template
+        err = jnp.square(recon_motion - motion)
+        if frame_mask is not None:
+            w = frame_mask[..., None]
+            recon_loss = jnp.sum(err * w) / jnp.maximum(
+                jnp.sum(w) * err.shape[-1], 1.0
+            )
+        else:
+            recon_loss = jnp.mean(err)
+
+        total = denoise_loss + recon_loss
+        return total, {
+            "denoise_loss": denoise_loss,
+            "recon_loss": recon_loss,
+            "loss": total,
+        }
+
+    # ---------------- inference ----------------
+
+    def make_denoise_fn(
+        self,
+        fdm_params,
+        audio_feat: jnp.ndarray,
+        style_one_hot: jnp.ndarray,
+        emotion_one_hot: Optional[jnp.ndarray],
+        cfg_scale: float = 0.0,
+    ):
+        """Build the x0-denoiser closure for the samplers. cfg_scale > 0
+        folds conditional+unconditional into one doubled-batch forward."""
+        if cfg_scale and cfg_scale > 0.0:
+            style2 = jnp.concatenate(
+                [style_one_hot, jnp.zeros_like(style_one_hot)], axis=0
+            )
+            emo2 = (
+                jnp.concatenate(
+                    [emotion_one_hot, jnp.zeros_like(emotion_one_hot)], axis=0
+                )
+                if emotion_one_hot is not None else None
+            )
+            audio2 = jnp.concatenate([audio_feat, audio_feat], axis=0)
+
+            def denoise_fn(x_t, t):
+                x2 = jnp.concatenate([x_t, x_t], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                out = self.fdm.apply(
+                    fdm_params, x2, t2, audio2, style2, emo2,
+                    method="denoise",
+                )
+                cond, uncond = jnp.split(out, 2, axis=0)
+                return uncond + cfg_scale * (cond - uncond)
+
+            return denoise_fn
+
+        def denoise_fn(x_t, t):
+            return self.fdm.apply(
+                fdm_params, x_t, t, audio_feat, style_one_hot,
+                emotion_one_hot, method="denoise",
+            )
+
+        return denoise_fn
+
+    def generate(
+        self,
+        vq_params,
+        fdm_params,
+        key: jax.Array,
+        audio_hidden: jnp.ndarray,     # (B, T, audio_dim*pair)
+        template: jnp.ndarray,         # (B, 1, in_dim)
+        style_one_hot: jnp.ndarray,
+        emotion_one_hot: Optional[jnp.ndarray] = None,
+        sampler: str = "ddpm",
+        num_steps: Optional[int] = None,
+        cfg_scale: Optional[float] = None,
+    ) -> jnp.ndarray:
+        """Audio features -> vertex animation (B, T, in_dim). One XLA program."""
+        cfg = self.config
+        B, T = audio_hidden.shape[:2]
+        latent_shape = (
+            B, T * cfg.vqvae.face_quan_num, cfg.vqvae.zquant_dim
+        )
+        cfg_scale = (
+            cfg.diffusion.cfg_scale if cfg_scale is None else cfg_scale
+        )
+
+        audio_feat = self.fdm.apply(
+            fdm_params, audio_hidden, method="prepare_audio"
+        )
+        denoise_fn = self.make_denoise_fn(
+            fdm_params, audio_feat, style_one_hot, emotion_one_hot, cfg_scale
+        )
+
+        if sampler == "ddpm":
+            steps = num_steps or cfg.diffusion.sample_steps
+            latent = ddpm_sample(
+                self.schedule, denoise_fn, latent_shape, key, num_steps=steps
+            )
+        elif sampler == "ddim":
+            steps = num_steps or cfg.diffusion.ddim_steps
+            latent = ddim_sample(
+                self.schedule, denoise_fn, latent_shape, key, steps=steps,
+                eta=cfg.diffusion.ddim_eta,
+            )
+        else:
+            raise ValueError(f"unknown sampler {sampler!r}")
+
+        q = self.vqvae.apply(
+            vq_params, latent, emotion_one_hot, method="quant"
+        )
+        motion = self.vqvae.apply(vq_params, q.z_q, method="decode")
+        return motion + template

@@ -1,0 +1,196 @@
+"""Training: donated jitted steps, data-parallel over a device mesh.
+
+Replaces the reference's per-dataset hand-rolled loops
+(train/train_*_vqvae.py, train/train_diffusion_*.py — tqdm + .to(device) +
+AdamW at lr 1e-4, batch size 1, single GPU) with one trainer:
+
+  * the whole step (loss, grads, optimizer update) is ONE jitted XLA program
+    with the state donated (no HBM copy per step);
+  * batches are sharded on the leading axis of a Mesh(('data',)); XLA inserts
+    the psum for gradient reduction over ICI automatically;
+  * checkpointing via orbax (fdm_tpu.utils.checkpoint), metrics as JSONL
+    (fdm_tpu.utils.logging) — the reference's TensorBoard scalars have a
+    drop-in equivalent writer.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fdm_tpu.models.pipeline import LatentDiffusion
+from fdm_tpu.parallel import batch_sharding, replicated_sharding, shard_batch
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+    )
+
+
+def default_optimizer(learning_rate: float = 1e-4,
+                      weight_decay: float = 1e-2) -> optax.GradientTransformation:
+    """AdamW matching the reference trainers (lr 1e-4,
+    train/train_diffusion_mead.py:49; torch AdamW default weight decay)."""
+    return optax.adamw(learning_rate, weight_decay=weight_decay)
+
+
+def make_stage1_step(
+    ld: LatentDiffusion,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    donate: bool = True,
+):
+    """Jitted VQ-VAE train step: (state, batch) -> (state, metrics).
+
+    batch: dict(motion, template[, emotion_one_hot][, frame_mask])."""
+
+    def step(state: TrainState, batch) -> tuple:
+        def loss_fn(params):
+            return ld.stage1_train_loss(
+                params,
+                batch["motion"],
+                batch["template"],
+                batch.get("emotion_one_hot"),
+                batch.get("frame_mask"),
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return _compile_step(step, mesh, donate)
+
+
+def make_stage2_step(
+    ld: LatentDiffusion,
+    tx: optax.GradientTransformation,
+    vq_params,
+    mesh=None,
+    donate: bool = True,
+):
+    """Jitted diffusion train step over the FDM with the stage-1 codec frozen.
+
+    batch: dict(motion, template, audio_hidden, style_one_hot
+                [, emotion_one_hot][, frame_mask]); plus an rng key."""
+
+    def step(state: TrainState, batch, key) -> tuple:
+        def loss_fn(fdm_params):
+            return ld.stage2_train_loss(
+                vq_params,
+                fdm_params,
+                key,
+                batch["motion"],
+                batch["template"],
+                batch["audio_hidden"],
+                batch["style_one_hot"],
+                batch.get("emotion_one_hot"),
+                batch.get("frame_mask"),
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return _compile_step(step, mesh, donate)
+
+
+def _compile_step(step: Callable, mesh, donate: bool):
+    """Sharding is carried by the data: `replicate_state` pins the state
+    replicated over the mesh and `shard_batch` shards batches on the leading
+    axis; jit then partitions the step (gradient psum over 'data') from the
+    input shardings — no per-pytree in_shardings spec needed."""
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def replicate_state(state: TrainState, mesh) -> TrainState:
+    """Place every array of the train state replicated over the mesh."""
+    repl = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+
+
+class Trainer:
+    """Host-side epoch driver: iterates a data source, runs the jitted step,
+    logs metrics, checkpoints periodically. Any iterable of batch dicts works
+    as a data source (see fdm_tpu.data)."""
+
+    def __init__(
+        self,
+        step_fn: Callable,
+        state: TrainState,
+        mesh=None,
+        logger=None,
+        checkpointer=None,
+        checkpoint_every: int = 5,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.step_fn = step_fn
+        self.state = state
+        self.mesh = mesh
+        self.logger = logger
+        self.checkpointer = checkpointer
+        self.checkpoint_every = checkpoint_every
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.needs_rng = None  # inferred on first batch
+
+    def run_epoch(self, data_iter, epoch: int) -> dict:
+        totals, count = {}, 0
+        t0 = time.perf_counter()
+        for batch in data_iter:
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            if self.needs_rng is None:
+                self.needs_rng = _step_takes_rng(self.step_fn)
+            if self.needs_rng:
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, metrics = self.step_fn(self.state, batch, sub)
+            else:
+                self.state, metrics = self.step_fn(self.state, batch)
+            count += 1
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            if self.logger is not None:
+                self.logger.log_step(
+                    int(self.state.step), {k: float(v) for k, v in metrics.items()}
+                )
+        elapsed = time.perf_counter() - t0
+        means = {k: v / max(count, 1) for k, v in totals.items()}
+        means["epoch"] = epoch
+        means["steps"] = count
+        means["steps_per_sec"] = count / elapsed if elapsed > 0 else 0.0
+        if self.logger is not None:
+            self.logger.log_epoch(epoch, means)
+        if (
+            self.checkpointer is not None
+            and epoch % self.checkpoint_every == 0
+        ):
+            self.checkpointer.save(int(self.state.step), self.state)
+        return means
+
+
+def _step_takes_rng(step_fn) -> bool:
+    try:
+        import inspect
+
+        sig = inspect.signature(step_fn)
+        return len(sig.parameters) >= 3
+    except (TypeError, ValueError):
+        return True

@@ -1,0 +1,132 @@
+"""Audio encoders: parity vs HF transformers torch models (tiny random
+configs, both layout variants), plus frame-rate alignment utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from fdm_tpu.audio import AudioEncoder, pair_frames, linear_interpolate_frames
+from fdm_tpu.audio.encoder import AudioEncoderConfig
+from fdm_tpu.audio.convert import convert_hf_audio_encoder
+
+
+def tiny_cfg(norm="group", stable=False, conv_bias=False):
+    return AudioEncoderConfig(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=48,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+        conv_bias=conv_bias, feat_extract_norm=norm,
+        do_stable_layer_norm=stable, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+    )
+
+
+def hf_model_for(cfg, kind):
+    if kind == "wav2vec2":
+        from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+        hf_cfg = Wav2Vec2Config(
+            hidden_size=cfg.hidden_size,
+            num_hidden_layers=cfg.num_layers,
+            num_attention_heads=cfg.num_heads,
+            intermediate_size=cfg.intermediate_size,
+            conv_dim=list(cfg.conv_dim),
+            conv_kernel=list(cfg.conv_kernel),
+            conv_stride=list(cfg.conv_stride),
+            conv_bias=cfg.conv_bias,
+            feat_extract_norm=cfg.feat_extract_norm,
+            do_stable_layer_norm=cfg.do_stable_layer_norm,
+            num_conv_pos_embeddings=cfg.num_conv_pos_embeddings,
+            num_conv_pos_embedding_groups=cfg.num_conv_pos_embedding_groups,
+            hidden_dropout=0.0, attention_dropout=0.0,
+            feat_proj_dropout=0.0, layerdrop=0.0, apply_spec_augment=False,
+        )
+        return Wav2Vec2Model(hf_cfg).eval()
+    else:
+        from transformers import HubertConfig, HubertModel
+
+        hf_cfg = HubertConfig(
+            hidden_size=cfg.hidden_size,
+            num_hidden_layers=cfg.num_layers,
+            num_attention_heads=cfg.num_heads,
+            intermediate_size=cfg.intermediate_size,
+            conv_dim=list(cfg.conv_dim),
+            conv_kernel=list(cfg.conv_kernel),
+            conv_stride=list(cfg.conv_stride),
+            conv_bias=cfg.conv_bias,
+            feat_extract_norm=cfg.feat_extract_norm,
+            do_stable_layer_norm=cfg.do_stable_layer_norm,
+            num_conv_pos_embeddings=cfg.num_conv_pos_embeddings,
+            num_conv_pos_embedding_groups=cfg.num_conv_pos_embedding_groups,
+            hidden_dropout=0.0, attention_dropout=0.0,
+            feat_proj_dropout=0.0, layerdrop=0.0, apply_spec_augment=False,
+        )
+        return HubertModel(hf_cfg).eval()
+
+
+@pytest.mark.parametrize(
+    "kind,norm,stable,conv_bias",
+    [
+        ("wav2vec2", "group", False, False),   # wav2vec2-base layout
+        ("hubert", "layer", True, True),       # hubert-large layout
+    ],
+)
+def test_audio_encoder_matches_hf(kind, norm, stable, conv_bias):
+    torch.manual_seed(0)
+    cfg = tiny_cfg(norm=norm, stable=stable, conv_bias=conv_bias)
+    hf = hf_model_for(cfg, kind)
+
+    wav = torch.randn(2, 800)
+    with torch.no_grad():
+        ref = hf(wav).last_hidden_state.numpy()
+
+    params = convert_hf_audio_encoder(hf.state_dict(), cfg)
+    ours = AudioEncoder(cfg).apply(
+        params, jnp.asarray(wav.numpy()), even_trim=False
+    )
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_even_trim_matches_reference_wrapper():
+    """Odd conv frame counts are trimmed to even before the transformer
+    (reference models/hubert.py:95-96)."""
+    cfg = tiny_cfg()
+    hf = hf_model_for(cfg, "wav2vec2")
+    params = convert_hf_audio_encoder(hf.state_dict(), cfg)
+    model = AudioEncoder(cfg)
+    # choose a length giving an odd conv output
+    for samples in (790, 805, 820, 840):
+        feats = model.apply(
+            params, jnp.zeros((1, samples)), method="extract_features"
+        )
+        if feats.shape[1] % 2 == 1:
+            out = model.apply(params, jnp.zeros((1, samples)))
+            assert out.shape[1] == feats.shape[1] - 1
+            return
+    pytest.skip("no odd-length conv output found in probe range")
+
+
+def test_pair_frames():
+    x = jnp.arange(2 * 10 * 3, dtype=jnp.float32).reshape(2, 10, 3)
+    p = pair_frames(x, 2)
+    assert p.shape == (2, 5, 6)
+    np.testing.assert_array_equal(p[0, 0, :3], x[0, 0])
+    np.testing.assert_array_equal(p[0, 0, 3:], x[0, 1])
+    # odd length trims
+    p2 = pair_frames(x[:, :9], 2)
+    assert p2.shape == (2, 4, 6)
+
+
+def test_linear_interpolation_matches_torch():
+    torch.manual_seed(0)
+    x = torch.randn(2, 50, 8)
+    out_len = 30
+    ref = torch.nn.functional.interpolate(
+        x.transpose(1, 2), size=out_len, mode="linear", align_corners=True
+    ).transpose(1, 2).numpy()
+    ours = linear_interpolate_frames(
+        jnp.asarray(x.numpy()), input_fps=50, output_fps=30, output_len=out_len
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-6)

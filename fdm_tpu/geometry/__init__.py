@@ -1,0 +1,21 @@
+from fdm_tpu.geometry.flame import (
+    FlameModel,
+    load_flame_model,
+    synthetic_flame_model,
+    batch_rodrigues,
+    lbs,
+    flame_forward,
+    params_to_vertices,
+    vertices_to_landmarks,
+)
+
+__all__ = [
+    "FlameModel",
+    "load_flame_model",
+    "synthetic_flame_model",
+    "batch_rodrigues",
+    "lbs",
+    "flame_forward",
+    "params_to_vertices",
+    "vertices_to_landmarks",
+]

@@ -1,0 +1,299 @@
+"""FLAME parametric head model as pure JAX linear blend skinning.
+
+Capability parity with the reference's FLAME layer + smplx.lbs
+(reference FLAME_PyTorch/FLAME.py:204-249, driven through
+utiles/flame_utils.py:30-50), TPU-first:
+
+  * everything is batched einsums over a FlameModel pytree — fully jittable,
+    vmappable, differentiable, and it stays on-device (no host round trip
+    between the codec and the geometry decode);
+  * the reference's artificial chunk-of-8 serialization (flame_utils.py:41-45
+    pads T to a multiple of 8 and loops) is gone: one call handles any T;
+  * model assets load from the user-supplied FLAME pickle (the MPI-licensed
+    generic_model.pkl cannot ship with the framework — reference
+    .MISSING_LARGE_BLOBS) or from a synthetic stand-in for tests/CI.
+
+FLAME specifics: 5 joints (global, neck, jaw, left eye, right eye), betas =
+[shape(300) | expression(100)], full pose = [global, neck, jaw, eyes(2)]
+axis-angle (15 values).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FlameModel(NamedTuple):
+    v_template: jnp.ndarray      # (V, 3)
+    shapedirs: jnp.ndarray       # (V, 3, n_betas) shape+expression basis
+    posedirs: jnp.ndarray        # (P, V*3) pose-corrective basis (P = 9*(J-1))
+    j_regressor: jnp.ndarray     # (J, V)
+    parents: np.ndarray          # (J,) int, parents[0] == -1 (static, host)
+    lbs_weights: jnp.ndarray     # (V, J)
+    faces: Optional[np.ndarray] = None           # (F, 3) int
+    lmk_faces_idx: Optional[np.ndarray] = None   # (L,) int static landmarks
+    lmk_bary_coords: Optional[np.ndarray] = None  # (L, 3)
+
+    @property
+    def num_vertices(self) -> int:
+        return self.v_template.shape[0]
+
+    @property
+    def num_joints(self) -> int:
+        return self.j_regressor.shape[0]
+
+
+def load_flame_model(
+    model_path: str,
+    static_landmark_path: Optional[str] = None,
+) -> FlameModel:
+    """Load a FLAME pickle (generic_model.pkl layout: v_template, shapedirs,
+    posedirs, J_regressor, kintree_table, weights, f) the same way the
+    reference does (FLAME_PyTorch/FLAME.py:44-120)."""
+    with open(model_path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    get = lambda k: _to_np(data[k] if isinstance(data, dict) else getattr(data, k))
+
+    posedirs = get("posedirs")
+    num_pose_basis = posedirs.shape[-1]
+    posedirs = posedirs.reshape(-1, num_pose_basis).T  # (P, V*3)
+
+    parents = get("kintree_table")[0].astype(np.int64)
+    parents[0] = -1
+
+    j_reg = get("J_regressor")
+    if hasattr(j_reg, "todense"):
+        j_reg = np.asarray(j_reg.todense())
+
+    lmk_idx = lmk_bary = None
+    if static_landmark_path is not None:
+        with open(static_landmark_path, "rb") as f:
+            emb = pickle.load(f, encoding="latin1")
+        eget = lambda k: _to_np(
+            emb[k] if isinstance(emb, dict) else getattr(emb, k)
+        )
+        lmk_idx = eget("lmk_face_idx").astype(np.int64)
+        lmk_bary = eget("lmk_b_coords").astype(np.float32)
+
+    return FlameModel(
+        v_template=jnp.asarray(get("v_template"), jnp.float32),
+        shapedirs=jnp.asarray(get("shapedirs"), jnp.float32),
+        posedirs=jnp.asarray(posedirs, jnp.float32),
+        j_regressor=jnp.asarray(j_reg, jnp.float32),
+        parents=parents,
+        lbs_weights=jnp.asarray(get("weights"), jnp.float32),
+        faces=get("f").astype(np.int64) if _has(data, "f") else None,
+        lmk_faces_idx=lmk_idx,
+        lmk_bary_coords=lmk_bary,
+    )
+
+
+def synthetic_flame_model(
+    num_vertices: int = 64,
+    num_joints: int = 5,
+    n_shape: int = 300,
+    n_expr: int = 100,
+    seed: int = 0,
+) -> FlameModel:
+    """Random small FLAME-shaped model for tests/CI (the licensed asset can't
+    ship). Joint chain: 0 <- 1 <- 2, eyes hang off joint 1 like FLAME."""
+    rng = np.random.RandomState(seed)
+    V, J = num_vertices, num_joints
+    parents = np.full((J,), 1, dtype=np.int64)
+    parents[0] = -1
+    if J > 1:
+        parents[1] = 0
+    if J > 2:
+        parents[2] = 1
+    w = rng.rand(V, J).astype(np.float32)
+    w = w / w.sum(axis=1, keepdims=True)
+    jr = rng.rand(J, V).astype(np.float32)
+    jr = jr / jr.sum(axis=1, keepdims=True)
+    return FlameModel(
+        v_template=jnp.asarray(rng.randn(V, 3) * 0.1, jnp.float32),
+        shapedirs=jnp.asarray(
+            rng.randn(V, 3, n_shape + n_expr) * 0.01, jnp.float32
+        ),
+        posedirs=jnp.asarray(
+            rng.randn(9 * (J - 1), V * 3) * 0.01, jnp.float32
+        ),
+        j_regressor=jnp.asarray(jr, jnp.float32),
+        parents=parents,
+        lbs_weights=jnp.asarray(w, jnp.float32),
+        faces=np.stack(
+            [np.arange(V - 2), np.arange(1, V - 1), np.arange(2, V)], axis=1
+        ),
+        lmk_faces_idx=np.arange(min(8, V - 2), dtype=np.int64),
+        lmk_bary_coords=np.full((min(8, V - 2), 3), 1.0 / 3.0, np.float32),
+    )
+
+
+def batch_rodrigues(rot_vecs: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> rotation matrices (..., 3, 3)."""
+    angle = jnp.linalg.norm(rot_vecs + eps, axis=-1, keepdims=True)
+    axis = rot_vecs / angle
+    cos = jnp.cos(angle)[..., None]
+    sin = jnp.sin(angle)[..., None]
+    rx, ry, rz = axis[..., 0], axis[..., 1], axis[..., 2]
+    zeros = jnp.zeros_like(rx)
+    K = jnp.stack(
+        [zeros, -rz, ry, rz, zeros, -rx, -ry, rx, zeros], axis=-1
+    ).reshape(*rot_vecs.shape[:-1], 3, 3)
+    eye = jnp.eye(3, dtype=rot_vecs.dtype)
+    return eye + sin * K + (1.0 - cos) * (K @ K)
+
+
+def _rigid_transform_chain(rot_mats, joints, parents):
+    """Per-joint world transforms along the kinematic chain.
+
+    rot_mats: (B, J, 3, 3); joints: (B, J, 3). Returns (posed_joints,
+    rel_transforms (B, J, 4, 4)) with the skinning-ready relative transforms
+    A_j = G_j - pack(G_j @ j_rest)."""
+    B, J = joints.shape[:2]
+    rel_joints = joints.at[:, 1:].add(-joints[:, parents[1:]])
+
+    def make_tf(R, t):
+        tf = jnp.zeros((*R.shape[:-2], 4, 4), R.dtype)
+        tf = tf.at[..., :3, :3].set(R)
+        tf = tf.at[..., :3, 3].set(t)
+        tf = tf.at[..., 3, 3].set(1.0)
+        return tf
+
+    local = make_tf(rot_mats, rel_joints)  # (B, J, 4, 4)
+
+    # chain is tiny (J=5) and static: unrolled python loop, XLA fuses it
+    world = [local[:, 0]]
+    for j in range(1, J):
+        world.append(world[parents[j]] @ local[:, j])
+    world = jnp.stack(world, axis=1)  # (B, J, 4, 4)
+
+    posed_joints = world[..., :3, 3]
+    # subtract the rest-pose joint contribution
+    j_h = jnp.concatenate([joints, jnp.zeros((B, J, 1), joints.dtype)], axis=-1)
+    correction = (world @ j_h[..., None])[..., 0]
+    rel = world.at[..., :3, 3].add(-correction[..., :3])
+    return posed_joints, rel
+
+
+def lbs(
+    model: FlameModel,
+    betas: jnp.ndarray,       # (B, n_betas)
+    full_pose: jnp.ndarray,   # (B, J*3) axis-angle
+):
+    """Linear blend skinning: returns (vertices (B, V, 3), joints (B, J, 3)).
+
+    Same math as smplx.lbs consumed by the reference (FLAME.py:221-224):
+    shape blendshapes -> joint regression -> pose correctives -> kinematic
+    chain -> weighted skinning."""
+    B = betas.shape[0]
+    J = model.num_joints
+
+    # shape + expression blend shapes
+    v_shaped = model.v_template[None] + jnp.einsum(
+        "bl,vcl->bvc", betas, model.shapedirs
+    )
+    joints = jnp.einsum("jv,bvc->bjc", model.j_regressor, v_shaped)
+
+    rot_mats = batch_rodrigues(full_pose.reshape(B, J, 3))
+
+    # pose-corrective blendshapes from the non-root joint rotations
+    eye = jnp.eye(3, dtype=v_shaped.dtype)
+    pose_feature = (rot_mats[:, 1:] - eye).reshape(B, -1)  # (B, 9*(J-1))
+    v_posed = v_shaped + (pose_feature @ model.posedirs).reshape(B, -1, 3)
+
+    posed_joints, rel_tf = _rigid_transform_chain(
+        rot_mats, joints, model.parents
+    )
+
+    # skinning: per-vertex blended transforms
+    T = jnp.einsum("vj,bjrc->bvrc", model.lbs_weights, rel_tf)  # (B,V,4,4)
+    v_h = jnp.concatenate(
+        [v_posed, jnp.ones((B, v_posed.shape[1], 1), v_posed.dtype)], axis=-1
+    )
+    verts = (T @ v_h[..., None])[..., :3, 0]
+    return verts, posed_joints
+
+
+def flame_forward(
+    model: FlameModel,
+    shape_params: jnp.ndarray,       # (B, n_shape_used)
+    expression_params: jnp.ndarray,  # (B, n_expr_used)
+    pose_params: jnp.ndarray,        # (B, 6) = [global(3), jaw(3)]
+    neck_pose: Optional[jnp.ndarray] = None,
+    eye_pose: Optional[jnp.ndarray] = None,
+    transl: Optional[jnp.ndarray] = None,
+    n_shape_total: int = 300,
+    n_expr_total: int = 100,
+):
+    """Reference FLAME.forward semantics (FLAME.py:204-249): pad shape betas
+    to 300 and expression to 100, assemble full pose
+    [global, neck, jaw, eyes], run LBS, add optional translation."""
+    B = shape_params.shape[0]
+    z = lambda n: jnp.zeros((B, n), shape_params.dtype)
+    betas = jnp.concatenate(
+        [
+            shape_params, z(n_shape_total - shape_params.shape[1]),
+            expression_params, z(n_expr_total - expression_params.shape[1]),
+        ],
+        axis=1,
+    )
+    neck = neck_pose if neck_pose is not None else z(3)
+    eyes = eye_pose if eye_pose is not None else z(6)
+    full_pose = jnp.concatenate(
+        [pose_params[:, :3], neck, pose_params[:, 3:], eyes], axis=1
+    )
+    verts, _ = lbs(model, betas, full_pose)
+    if transl is not None:
+        verts = verts + transl[:, None, :]
+    return verts
+
+
+def params_to_vertices(
+    model: FlameModel,
+    params: jnp.ndarray,             # (T, 56) = expr(50) + [global(3)=0, jaw(3)]
+    n_expr: int = 50,
+    round_decimals: Optional[int] = None,
+) -> jnp.ndarray:
+    """The MEAD param->mesh decode (reference utiles/flame_utils.py:30-50,
+    torch2mesh) without the chunk-of-8 serialization: one batched LBS over
+    all T frames. Returns (T, V*3) flattened vertices.
+
+    round_decimals=4 reproduces the reference's torch.round(decimals=4)
+    truncation (quirk Q9) for parity evaluation."""
+    T = params.shape[0]
+    expr = params[:, :n_expr]
+    pose = params[:, n_expr:]
+    shape = jnp.zeros((T, 100), params.dtype)
+    verts = flame_forward(model, shape, expr, pose)
+    if round_decimals is not None:
+        factor = 10.0**round_decimals
+        verts = jnp.round(verts * factor) / factor
+    return verts.reshape(T, -1)
+
+
+def vertices_to_landmarks(
+    vertices: jnp.ndarray,   # (B, V, 3)
+    faces: np.ndarray,       # (F, 3)
+    lmk_faces_idx: np.ndarray,   # (L,)
+    lmk_bary_coords: np.ndarray,  # (L, 3)
+) -> jnp.ndarray:
+    """Barycentric landmark extraction (smplx vertices2landmarks equivalent,
+    used by reference FLAME.py:241-243)."""
+    lmk_faces = jnp.asarray(faces)[jnp.asarray(lmk_faces_idx)]  # (L, 3)
+    lmk_verts = vertices[:, lmk_faces]                          # (B, L, 3, 3)
+    return jnp.einsum("blvc,lv->blc", lmk_verts, jnp.asarray(lmk_bary_coords))
+
+
+def _to_np(x):
+    if hasattr(x, "todense"):
+        return np.asarray(x.todense())
+    return np.asarray(x)
+
+
+def _has(data, key):
+    return key in data if isinstance(data, dict) else hasattr(data, key)

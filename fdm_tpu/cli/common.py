@@ -1,0 +1,286 @@
+"""Shared CLI plumbing: config/override parsing, dataset loading with a
+synthetic fallback, audio-hidden computation, FLAME param decoding, and
+parameter checkpoint IO.
+
+The reference exposes one hand-rolled script per (dataset, task) pair with
+hardcoded constants inside main() (reference train/train_mead_vqvae.py:35-65,
+samples/sample_diffusion_mead.py, demo/demo_3d_mead.py:115-128). Here every
+task is one CLI parameterized by --dataset with dotted --set overrides, and
+every entry point runs end-to-end with --synthetic (no license-gated data or
+pretrained weights needed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdm_tpu.configs import PipelineConfig, get_config
+
+
+def parse_override(kv: str) -> Tuple[str, object]:
+    key, _, raw = kv.partition("=")
+    if not raw:
+        raise argparse.ArgumentTypeError(
+            f"--set expects section.field=value, got {kv!r}"
+        )
+    for cast in (int, float):
+        try:
+            return key, cast(raw)
+        except ValueError:
+            continue
+    if raw.lower() in ("true", "false"):
+        return key, raw.lower() == "true"
+    return key, raw
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--dataset", choices=["mead", "vocaset", "biwi"], default="mead"
+    )
+    parser.add_argument(
+        "--data_root", default=None,
+        help="dataset directory (wav/, vertices_npy/, ... per dataset)",
+    )
+    parser.add_argument(
+        "--synthetic", action="store_true",
+        help="run on generated shape-faithful data (no dataset needed)",
+    )
+    parser.add_argument(
+        "--tiny", action="store_true",
+        help="shrink every model to smoke-test size (implies fast compile)",
+    )
+    parser.add_argument(
+        "--set", dest="overrides", type=parse_override, action="append",
+        default=[], metavar="SECTION.FIELD=VALUE",
+        help="config override, e.g. --set train.batch_size=4",
+    )
+    parser.add_argument("--seed", type=int, default=0)
+
+
+TINY_OVERRIDES = {
+    "vqvae.in_dim": 30,
+    "vqvae.hidden_size": 32,
+    "vqvae.num_hidden_layers": 1,
+    "vqvae.num_attention_heads": 4,
+    "vqvae.intermediate_size": 48,
+    "vqvae.face_quan_num": 4,
+    "vqvae.zquant_dim": 8,
+    "fdm.feature_dim": 32,
+    "fdm.n_head": 4,
+    "fdm.num_layers": 1,
+    "fdm.audio_dim": 12,
+    "fdm.tokens_per_frame": 4,
+    "fdm.num_timesteps": 20,
+    "fdm.max_seq_len": 80,
+    "diffusion.timesteps": 20,
+    "diffusion.sample_steps": 20,
+    "diffusion.ddim_steps": 4,
+    "train.frame_bucket": 8,
+    "train.max_frames": 80,
+    "dataset.vertex_count": 10,
+}
+
+
+def build_config(args) -> PipelineConfig:
+    overrides = {}
+    if args.tiny:
+        overrides.update(TINY_OVERRIDES)
+        # n_embed must stay divisible by the emotion partition
+        emo = 7 if args.dataset == "mead" else 0
+        overrides["vqvae.n_embed"] = 8 * emo if emo else 16
+        if args.dataset == "mead":
+            # tiny FLAME-less MEAD still carries params->vertices shape 30
+            overrides["dataset.flame_param_dim"] = 14  # 8 expr + 6 pose
+    if getattr(args, "data_root", None):
+        overrides["dataset.data_root"] = args.data_root
+    for key, value in args.overrides:
+        overrides[key] = value
+    return get_config(args.dataset, **overrides)
+
+
+def load_splits(cfg: PipelineConfig, args, read_audio: bool = True):
+    if args.synthetic:
+        from fdm_tpu.data import synthetic_splits
+
+        return synthetic_splits(
+            cfg,
+            num_train=8,
+            num_eval=2,
+            min_frames=16 if args.tiny else 40,
+            max_frames=32 if args.tiny else 120,
+            seed=args.seed,
+            with_audio=read_audio,
+        )
+    from fdm_tpu.data import load_biwi, load_mead, load_vocaset
+
+    loaders = {"mead": load_mead, "vocaset": load_vocaset, "biwi": load_biwi}
+    return loaders[cfg.dataset.name](
+        cfg.dataset.data_root, read_audio=read_audio
+    )
+
+
+# ---------------- FLAME param decoding (MEAD) ----------------
+
+
+class FlameDecoder:
+    """Decodes (B, T, param_dim) FLAME params to (B, T, V*3) vertices on
+    device — the reference's torch2mesh per batch
+    (reference train/train_mead_vqvae.py:86-88) without the chunk-of-8
+    serialization. With --synthetic/--tiny a synthetic FLAME model stands in
+    for the licensed generic_model.pkl."""
+
+    def __init__(self, cfg: PipelineConfig, flame_path: Optional[str] = None):
+        from fdm_tpu.geometry import (
+            load_flame_model,
+            params_to_vertices,
+            synthetic_flame_model,
+        )
+
+        n_pose = 6
+        self.n_expr = cfg.dataset.flame_param_dim - n_pose
+        if flame_path:
+            self.model = load_flame_model(flame_path)
+        else:
+            # full 300+100 beta basis so flame_forward's padding lines up
+            self.model = synthetic_flame_model(
+                num_vertices=cfg.dataset.vertex_count
+            )
+
+        def decode(params):  # (B, T, P) -> (B, T, V*3)
+            return jax.vmap(
+                lambda p: params_to_vertices(self.model, p, n_expr=self.n_expr)
+            )(params)
+
+        self._decode = jax.jit(decode)
+
+    def __call__(self, params: jnp.ndarray) -> jnp.ndarray:
+        return self._decode(params)
+
+    def template(self, batch: int, param_dim: int) -> jnp.ndarray:
+        """MEAD template = zero-param FLAME mesh (reference
+        metric/metric.py:84, data loader template=zeros)."""
+        zeros = jnp.zeros((batch, 1, param_dim))
+        return self._decode(zeros)
+
+
+def decode_motion(cfg: PipelineConfig, batch: dict,
+                  flame: Optional[FlameDecoder]) -> dict:
+    """If the dataset stores FLAME params, decode motion+template to vertex
+    space; otherwise pass through."""
+    if flame is None:
+        return batch
+    out = dict(batch)
+    out["motion"] = np.asarray(flame(jnp.asarray(batch["motion"])))
+    out["template"] = np.asarray(
+        flame.template(batch["template"].shape[0], batch["template"].shape[-1])
+    )
+    return out
+
+
+# ---------------- audio hidden states ----------------
+
+
+class AudioFrontend:
+    """waveform -> frame-aligned hidden states (B, T, audio_dim*pair) for the
+    FDM. Uses the JAX HuBERT/wav2vec2 encoder when full-size (weights loadable
+    via --audio_params, else randomly initialized); --tiny builds a 2-layer
+    encoder with matching hidden size so smoke tests stay fast."""
+
+    def __init__(self, cfg: PipelineConfig, params_path: Optional[str] = None,
+                 seed: int = 0):
+        from fdm_tpu.audio import AudioEncoder
+        from fdm_tpu.audio.encoder import AudioEncoderConfig, get_encoder_config
+
+        fdm = cfg.fdm
+        try:
+            enc_cfg = get_encoder_config(fdm.audio_encoder)
+            if enc_cfg.hidden_size != fdm.audio_dim:
+                raise ValueError
+        except ValueError:
+            enc_cfg = AudioEncoderConfig(
+                hidden_size=fdm.audio_dim, num_layers=2,
+                num_heads=max(1, fdm.audio_dim // 8),
+                intermediate_size=2 * fdm.audio_dim,
+                conv_dim=(fdm.audio_dim,) * 3,
+                conv_kernel=(10, 8, 4), conv_stride=(5, 8, 4),
+                num_conv_pos_embeddings=16,
+                num_conv_pos_embedding_groups=1,
+            )
+        self.cfg = cfg
+        self.encoder = AudioEncoder(enc_cfg)
+        if params_path:
+            from fdm_tpu.utils.serialization import load_params
+
+            self.params = load_params(params_path)
+        else:
+            samples = 3200
+            self.params = self.encoder.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, samples))
+            )
+        self._encode = jax.jit(
+            lambda p, wav: self.encoder.apply(p, wav, even_trim=False)
+        )
+
+    def __call__(self, audio: np.ndarray, num_frames: int) -> jnp.ndarray:
+        """audio: (B, S) float32 16 kHz -> (B, num_frames, audio_dim*pair)."""
+        from fdm_tpu.audio import linear_interpolate_frames, pair_frames
+
+        fdm, ds = self.cfg.fdm, self.cfg.dataset
+        hidden = self._encode(self.params, jnp.asarray(audio))
+        if fdm.audio_interp_fps:
+            hidden = linear_interpolate_frames(
+                hidden, 50, fdm.audio_interp_fps, output_len=num_frames
+            )
+        elif fdm.audio_pair_factor > 1:
+            hidden = pair_frames(hidden, fdm.audio_pair_factor)
+        # trim/pad to exactly num_frames (the reference trims to
+        # min(audio, vertice), fdm_vqvae_mead.py:75-77)
+        T = hidden.shape[1]
+        if T >= num_frames:
+            hidden = hidden[:, :num_frames]
+        else:
+            hidden = jnp.pad(
+                hidden, ((0, 0), (0, num_frames - T), (0, 0))
+            )
+        return hidden
+
+
+# ---------------- parameter IO ----------------
+
+
+def save_params(path: str, params) -> None:
+    from fdm_tpu.utils.serialization import save_params as _save
+
+    _save(path, params)
+
+
+def load_params(path: str):
+    from fdm_tpu.utils.serialization import load_params as _load
+
+    return _load(path)
+
+
+def ensure_dir(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def choose_mesh(batch_size: int):
+    """Data-parallel mesh over all visible devices when the global batch
+    divides evenly; otherwise single-device (the reference is always
+    single-device at batch 1, SURVEY.md §2.5)."""
+    n_dev = jax.device_count()
+    if n_dev > 1 and batch_size % n_dev == 0:
+        from fdm_tpu.parallel import make_mesh
+
+        return make_mesh((n_dev,))
+    if n_dev > 1:
+        print(f"note: batch_size={batch_size} not divisible by "
+              f"{n_dev} devices; running single-device")
+    return None

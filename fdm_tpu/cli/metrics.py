@@ -1,0 +1,157 @@
+"""Metric CLI: FVE/LVE/EME (MEAD) or MVE/LVE/FDD (BIWI/VOCASET) + Diversity
+over directories of saved .npy vertex sequences.
+
+Parity surface: reference metric/metric.py (region .npy index files, FLAME
+mesh) and computer_metrix.py (mouth/upper region files, templates.pkl,
+identity-conditioned diversity). Predictions and ground truth pair by file
+name: pred_dir/<name>.npy vs gt_dir/<name>.npy; files named
+<name>_condition_<i>.npy group into diversity sets per <name>.
+
+  python -m fdm_tpu.cli.metrics --pred_path results/diffusion \
+      --gt_path data/vertices_npy --mouth_region regions/lve.txt \
+      --upper_region regions/fdd.txt --templates data/templates.pkl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import re
+from collections import defaultdict
+
+import numpy as np
+
+from fdm_tpu.eval import MetricAccumulator, diversity
+
+_CONDITION_RE = re.compile(r"^(?P<stem>.+)_condition_(?P<cond>.+)$")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--pred_path", required=True)
+    parser.add_argument("--gt_path", default=None,
+                        help="ground-truth dir (omit for diversity-only)")
+    parser.add_argument("--face_region", default=None,
+                        help="face vertex ids (.npy/.txt) -> FVE")
+    parser.add_argument("--lip_region", default=None,
+                        help="lip/mouth vertex ids -> LVE")
+    parser.add_argument("--emotion_region", default=None,
+                        help="emotion vertex ids -> EME (mean-reduced)")
+    parser.add_argument("--upper_region", default=None,
+                        help="upper-face vertex ids -> FDD")
+    parser.add_argument("--templates", default=None,
+                        help="templates.pkl (per-subject) or template .npy; "
+                             "needed for FDD")
+    parser.add_argument("--json", dest="as_json", action="store_true",
+                        help="print one JSON object instead of lines")
+    return parser
+
+
+def _load_region(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.int64).reshape(-1)
+    return np.loadtxt(path).astype(np.int64).reshape(-1)
+
+
+def _load_templates(path: str):
+    if path is None:
+        return None
+    if path.endswith(".npy"):
+        arr = np.load(path).astype(np.float32).reshape(-1)
+        return lambda name: arr
+    with open(path, "rb") as f:
+        table = pickle.load(f, encoding="latin1")
+
+    def lookup(name: str):
+        for key, value in table.items():
+            if name.startswith(str(key)):
+                return np.asarray(value, np.float32).reshape(-1)
+        return None
+
+    return lookup
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    regions = {}
+    for arg_name, region_name in (
+        ("face_region", "face"), ("lip_region", "lip"),
+        ("emotion_region", "emotion"), ("upper_region", "upper"),
+    ):
+        path = getattr(args, arg_name)
+        if path:
+            regions[region_name] = _load_region(path)
+    templates = _load_templates(args.templates)
+    fdd_region = "upper" if "upper" in regions else (
+        "emotion" if "emotion" in regions else None
+    )
+
+    pred_files = sorted(
+        f for f in os.listdir(args.pred_path) if f.endswith(".npy")
+    )
+    if not pred_files:
+        raise SystemExit(f"no .npy files in {args.pred_path}")
+
+    # group conditioned predictions for diversity
+    groups = defaultdict(list)
+    for fname in pred_files:
+        stem = fname[:-4]
+        m = _CONDITION_RE.match(stem)
+        groups[m.group("stem") if m else stem].append(fname)
+
+    results = {}
+    if args.gt_path:
+        acc = MetricAccumulator(regions, fdd_region=fdd_region)
+        matched = 0
+        for stem, fnames in sorted(groups.items()):
+            gt_file = os.path.join(args.gt_path, stem + ".npy")
+            if not os.path.exists(gt_file):
+                continue
+            gt = np.load(gt_file).astype(np.float32)
+            gt = gt.reshape(gt.shape[0], -1, 3)
+            template = templates(stem) if templates else None
+            if template is None and fdd_region is not None:
+                template = np.zeros(gt.shape[1] * 3, np.float32)
+            for fname in fnames:
+                pred = np.load(os.path.join(args.pred_path, fname))
+                pred = pred.astype(np.float32).reshape(pred.shape[0], -1, 3)
+                acc.update(gt, pred, template)
+                matched += 1
+        if matched == 0:
+            raise SystemExit("no prediction/ground-truth name matches")
+        results.update(acc.result())
+
+    div_terms = []
+    for stem, fnames in sorted(groups.items()):
+        if len(fnames) >= 2:
+            preds = [
+                np.load(os.path.join(args.pred_path, f)).astype(np.float32)
+                for f in fnames
+            ]
+            div_terms.append(diversity(preds))
+    if div_terms:
+        results["diversity"] = float(np.mean(div_terms))
+
+    if args.as_json:
+        print(json.dumps(results))
+    else:
+        label = {"fve": "Face Vertex Error (FVE)",
+                 "lve": "Lip Vertex Error (LVE)",
+                 "eme": "Emotion Mean Error (EME)",
+                 "ave": "All Vertex Error",
+                 "mve": "Mean Vertex Error (MVE)",
+                 "fdd": "FDD", "abs_fdd": "ABS FDD",
+                 "diversity": "Diversity"}
+        for key, value in results.items():
+            if key in label:
+                print(f"{label[key]}: {value:.4e}")
+            else:
+                print(f"{key}: {value:g}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,65 @@
+"""Render CLI: saved .npy vertex sequences -> .mp4 (optionally with audio).
+
+Parity surface: reference render/render.py and render_mead.py (pyrender
+offscreen + cv2.VideoWriter + ffmpeg mux) using the in-image software
+renderer (fdm_tpu.render).
+
+  python -m fdm_tpu.cli.render --pred_path results/diffusion --fps 30 \
+      --audio_dir data/wav --output_dir videos
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from fdm_tpu.render import render_sequence, write_video
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--pred_path", required=True,
+                        help="one .npy file or a directory of them")
+    parser.add_argument("--output_dir", default="videos")
+    parser.add_argument("--fps", type=int, default=25,
+                        help="MEAD 24 / BIWI 25 / VOCASET 30")
+    parser.add_argument("--size", type=int, default=800)
+    parser.add_argument("--audio_dir", default=None,
+                        help="dir of <name>.wav files to mux (needs ffmpeg)")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if os.path.isdir(args.pred_path):
+        files = sorted(
+            os.path.join(args.pred_path, f)
+            for f in os.listdir(args.pred_path) if f.endswith(".npy")
+        )
+    else:
+        files = [args.pred_path]
+    if not files:
+        raise SystemExit(f"no .npy files at {args.pred_path}")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for path in files:
+        name = os.path.splitext(os.path.basename(path))[0]
+        verts = np.load(path)
+        audio = None
+        if args.audio_dir:
+            stem = name.split("_condition_")[0]
+            cand = os.path.join(args.audio_dir, stem + ".wav")
+            audio = cand if os.path.exists(cand) else None
+        out = os.path.join(args.output_dir, name + ".mp4")
+        n = write_video(
+            render_sequence(verts, size=args.size), out, fps=args.fps,
+            audio_path=audio,
+        )
+        print(f"{out}: {n} frames @ {args.fps} fps")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

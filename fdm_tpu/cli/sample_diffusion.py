@@ -1,0 +1,160 @@
+"""Stage-2 sampling CLI: audio -> latent diffusion -> quantize -> decode ->
+vertex .npy over the test split.
+
+Parity surface: reference samples/sample_diffusion_mead.py (1000-step
+ancestral DDPM), sample_diffusion_vocaset.py (100-step DDIM, looped over all
+train-identity conditions), sample_diffusion_biwi.py (50-step DDIM). One CLI:
+--sampler/--steps select the sampler, --all_conditions reproduces the
+VOCASET/BIWI per-identity loop (outputs ..._condition_<i>.npy).
+
+TPU-native: the audio encoder runs once per clip; the entire denoise loop +
+quantize + decode is one jitted scan (generation never leaves the device).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdm_tpu.cli.common import (
+    AudioFrontend,
+    FlameDecoder,
+    add_common_args,
+    build_config,
+    decode_motion,
+    ensure_dir,
+    load_params,
+    load_splits,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--stage1", default=None,
+                        help="stage-1 params .msgpack (random init if unset)")
+    parser.add_argument("--stage2", default=None,
+                        help="FDM params .msgpack (random init if unset)")
+    parser.add_argument("--audio_params", default=None)
+    parser.add_argument("--output_dir", default="results/diffusion")
+    parser.add_argument("--split", default="test",
+                        choices=["train", "valid", "test"])
+    parser.add_argument("--sampler", default=None, choices=["ddpm", "ddim"],
+                        help="default: ddpm for mead, ddim otherwise")
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--cfg_scale", type=float, default=None,
+                        help="classifier-free guidance scale (0 = off)")
+    parser.add_argument("--all_conditions", action="store_true",
+                        help="generate once per training identity "
+                             "(reference sample_diffusion_vocaset.py:71-73)")
+    parser.add_argument("--flame_model", default=None)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = build_config(args)
+    sampler = args.sampler or ("ddpm" if cfg.dataset.name == "mead" else "ddim")
+
+    from fdm_tpu.data import collate_batch
+    from fdm_tpu.models import LatentDiffusion
+
+    splits = load_splits(cfg, args, read_audio=True)
+    records = splits[args.split]
+    if not records:
+        raise SystemExit(f"no records in split {args.split!r}")
+    flame = (
+        FlameDecoder(cfg, args.flame_model)
+        if cfg.dataset.uses_flame_params else None
+    )
+    frontend = AudioFrontend(cfg, args.audio_params, seed=args.seed)
+    ld = LatentDiffusion.create(cfg)
+
+    vq_params, fdm_params = _init_params(ld, cfg, args, records, flame, frontend)
+
+    @jax.jit
+    def generate(key, audio_hidden, template, style, emotion):
+        return ld.generate(
+            vq_params, fdm_params, key, audio_hidden, template, style,
+            emotion, sampler=sampler, num_steps=args.steps,
+            cfg_scale=args.cfg_scale,
+        )
+
+    out_dir = ensure_dir(args.output_dir)
+    key = jax.random.PRNGKey(args.seed)
+    n_out = 0
+    for rec in records:
+        batch = decode_motion(
+            cfg,
+            collate_batch([rec], bucket=cfg.train.frame_bucket,
+                          max_frames=cfg.train.max_frames,
+                          fps=cfg.dataset.fps, include_audio=True),
+            flame,
+        )
+        T_pad = batch["motion"].shape[1]
+        T = min(rec.num_frames, T_pad)
+        audio_hidden = frontend(batch["audio"], T_pad)
+        template = jnp.asarray(batch["template"])
+        emotion = batch.get("emotion_one_hot")
+        emotion = None if emotion is None else jnp.asarray(emotion)
+
+        conditions = (
+            list(range(cfg.fdm.style_classes)) if args.all_conditions else [None]
+        )
+        for cond in conditions:
+            style = (
+                jnp.asarray(batch["style_one_hot"])
+                if cond is None
+                else jnp.eye(cfg.fdm.style_classes)[None, cond]
+            )
+            key, sub = jax.random.split(key)
+            verts = np.asarray(
+                generate(sub, audio_hidden, template, style, emotion)
+            )[0, :T]
+            suffix = "" if cond is None else f"_condition_{cond}"
+            np.save(os.path.join(out_dir, rec.name + suffix + ".npy"), verts)
+            n_out += 1
+    print(f"saved {n_out} generations to {out_dir} "
+          f"(sampler={sampler}, steps={args.steps or 'default'})")
+    return 0
+
+
+def _init_params(ld, cfg, args, records, flame, frontend):
+    from fdm_tpu.data import collate_batch
+
+    batch0 = decode_motion(
+        cfg,
+        collate_batch(records[:1], bucket=cfg.train.frame_bucket,
+                      max_frames=cfg.train.max_frames, fps=cfg.dataset.fps,
+                      include_audio=True),
+        flame,
+    )
+    if args.stage1:
+        vq_params = load_params(args.stage1)
+    else:
+        vq_params = ld.vqvae.init(
+            jax.random.PRNGKey(args.seed), batch0["motion"],
+            batch0["template"], batch0.get("emotion_one_hot"),
+        )
+    if args.stage2:
+        fdm_params = load_params(args.stage2)
+    else:
+        B, T = batch0["motion"].shape[:2]
+        L = T * cfg.fdm.tokens_per_frame
+        fdm_params = ld.fdm.init(
+            jax.random.PRNGKey(args.seed + 1),
+            jnp.zeros((B, L, cfg.vqvae.zquant_dim)),
+            jnp.zeros((B,), jnp.int32),
+            frontend(batch0["audio"], T),
+            batch0["style_one_hot"],
+            batch0.get("emotion_one_hot"),
+        )
+    return vq_params, fdm_params
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,154 @@
+"""Stage-2 LG-LDM training CLI: FDM denoiser over the frozen stage-1 codec.
+
+Parity surface: reference train/train_diffusion_mead.py, _vocaset.py,
+_biwi.py. TPU-native: audio encoding runs once per clip outside the step,
+the step (denoise loss + frozen-codec vertex recon loss + AdamW) is one
+jitted program, data-parallel over Mesh(('data',)).
+
+  python -m fdm_tpu.cli.train_diffusion --dataset mead \
+      --stage1 checkpoints/stage1/mead_vqvae_params.msgpack
+  python -m fdm_tpu.cli.train_diffusion --dataset vocaset --synthetic --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdm_tpu.cli.common import (
+    AudioFrontend,
+    FlameDecoder,
+    add_common_args,
+    build_config,
+    choose_mesh,
+    decode_motion,
+    ensure_dir,
+    load_params,
+    load_splits,
+    save_params,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--stage1", default=None,
+                        help="stage-1 params .msgpack (random init if unset)")
+    parser.add_argument("--audio_params", default=None,
+                        help="audio encoder params .msgpack (random if unset)")
+    parser.add_argument("--output_dir", default="checkpoints/stage2")
+    parser.add_argument("--flame_model", default=None)
+    parser.add_argument("--resume", action="store_true")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = build_config(args)
+    epochs = args.epochs if args.epochs is not None else cfg.train.stage2_epochs
+
+    from fdm_tpu.data import batch_iterator
+    from fdm_tpu.models import LatentDiffusion
+    from fdm_tpu.train import (
+        Trainer, create_train_state, default_optimizer, make_stage2_step,
+        replicate_state,
+    )
+    from fdm_tpu.utils.checkpoint import Checkpointer
+    from fdm_tpu.utils.logging import MetricLogger
+
+    splits = load_splits(cfg, args, read_audio=True)
+    print(f"dataset={cfg.dataset.name} train={len(splits.train)} "
+          f"valid={len(splits.valid)} test={len(splits.test)}")
+    if not splits.train:
+        raise SystemExit("no training records found")
+
+    flame = (
+        FlameDecoder(cfg, args.flame_model)
+        if cfg.dataset.uses_flame_params else None
+    )
+    frontend = AudioFrontend(cfg, args.audio_params, seed=args.seed)
+    ld = LatentDiffusion.create(cfg)
+
+    batch0 = _prepare(next(_batches(splits.train, cfg, args, 0)), cfg, flame,
+                      frontend)
+    key = jax.random.PRNGKey(cfg.train.seed)
+    if args.stage1:
+        vq_params = load_params(args.stage1)
+        print(f"loaded frozen stage-1 params from {args.stage1}")
+    else:
+        vq_params = ld.vqvae.init(
+            key, batch0["motion"], batch0["template"],
+            batch0.get("emotion_one_hot"),
+        )
+    B, T = batch0["motion"].shape[:2]
+    L = T * cfg.fdm.tokens_per_frame
+    fdm_params = ld.fdm.init(
+        jax.random.PRNGKey(cfg.train.seed + 1),
+        jnp.zeros((B, L, cfg.vqvae.zquant_dim)),
+        jnp.zeros((B,), jnp.int32),
+        batch0["audio_hidden"],
+        batch0["style_one_hot"],
+        batch0.get("emotion_one_hot"),
+    )
+
+    mesh = choose_mesh(cfg.train.batch_size)
+    tx = default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
+    state = create_train_state(fdm_params, tx)
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+    step = make_stage2_step(ld, tx, vq_params, mesh=mesh)
+
+    out_dir = ensure_dir(args.output_dir)
+    ckpt = Checkpointer(out_dir + "/orbax")
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(target=state)
+        print(f"resumed from step {int(state.step)}")
+    logger = MetricLogger(cfg.train.log_dir, f"{cfg.dataset.name}_diffusion")
+    trainer = Trainer(
+        step, state, mesh=mesh, logger=logger, checkpointer=ckpt,
+        checkpoint_every=cfg.train.checkpoint_every,
+        rng=jax.random.PRNGKey(cfg.train.seed + 2),
+    )
+
+    for epoch in range(1, epochs + 1):
+        data = (
+            _prepare(b, cfg, flame, frontend)
+            for b in _batches(splits.train, cfg, args, epoch)
+        )
+        means = trainer.run_epoch(data, epoch)
+        print(f"epoch {epoch}: loss={means.get('loss', float('nan')):.5f} "
+              f"denoise={means.get('denoise_loss', float('nan')):.5f} "
+              f"recon={means.get('recon_loss', float('nan')):.5f} "
+              f"steps/s={means['steps_per_sec']:.2f}")
+
+    save_params(f"{out_dir}/{cfg.dataset.name}_fdm_params.msgpack",
+                trainer.state.params)
+    logger.close()
+    ckpt.close()
+    return 0
+
+
+def _batches(records, cfg, args, epoch_seed: int):
+    from fdm_tpu.data import batch_iterator
+
+    return batch_iterator(
+        records, cfg.train.batch_size, bucket=cfg.train.frame_bucket,
+        max_frames=cfg.train.max_frames, fps=cfg.dataset.fps,
+        include_audio=True, shuffle=True, seed=args.seed + epoch_seed,
+        drop_last=jax.device_count() > 1 and cfg.train.batch_size > 1,
+    )
+
+
+def _prepare(batch, cfg, flame, frontend) -> dict:
+    batch = decode_motion(cfg, batch, flame)
+    T = batch["motion"].shape[1]
+    batch["audio_hidden"] = np.asarray(frontend(batch.pop("audio"), T))
+    return batch
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,142 @@
+"""Stage-1 (E)VQ-VAE training CLI.
+
+Parity surface: reference train/train_mead_vqvae.py, train_vocaset_vqvae.py,
+train_biwi_vqvae.py — one CLI parameterized by --dataset. TPU-native: the
+whole step is one jitted program, data-parallel over Mesh(('data',)) when
+more than one device is visible; FLAME params decode to vertices on device
+for MEAD (no chunk-of-8 host loop).
+
+  python -m fdm_tpu.cli.train_vqvae --dataset mead --data_root /data/mead
+  python -m fdm_tpu.cli.train_vqvae --dataset vocaset --synthetic --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from fdm_tpu.cli.common import (
+    FlameDecoder,
+    add_common_args,
+    build_config,
+    choose_mesh,
+    decode_motion,
+    ensure_dir,
+    load_splits,
+    save_params,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--output_dir", default="checkpoints/stage1")
+    parser.add_argument("--flame_model", default=None,
+                        help="FLAME generic_model.pkl (MEAD; synthetic if unset)")
+    parser.add_argument("--resume", action="store_true")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = build_config(args)
+    epochs = args.epochs if args.epochs is not None else cfg.train.stage1_epochs
+
+    from fdm_tpu.data import batch_iterator
+    from fdm_tpu.models import LatentDiffusion
+    from fdm_tpu.train import (
+        Trainer, create_train_state, default_optimizer, make_stage1_step,
+        replicate_state,
+    )
+    from fdm_tpu.utils.checkpoint import Checkpointer
+    from fdm_tpu.utils.logging import MetricLogger
+
+    splits = load_splits(cfg, args, read_audio=False)
+    print(f"dataset={cfg.dataset.name} train={len(splits.train)} "
+          f"valid={len(splits.valid)} test={len(splits.test)}")
+    if not splits.train:
+        raise SystemExit("no training records found")
+
+    flame = (
+        FlameDecoder(cfg, args.flame_model)
+        if cfg.dataset.uses_flame_params else None
+    )
+    ld = LatentDiffusion.create(cfg)
+
+    # init params from one representative batch
+    first = _batches(splits.train, cfg, args, epoch_seed=0)
+    batch0 = decode_motion(cfg, next(first), flame)
+    vq_params = ld.vqvae.init(
+        jax.random.PRNGKey(cfg.train.seed),
+        batch0["motion"], batch0["template"], batch0.get("emotion_one_hot"),
+    )
+
+    mesh = choose_mesh(cfg.train.batch_size)
+    tx = default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
+    state = create_train_state(vq_params, tx)
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+    step = make_stage1_step(ld, tx, mesh=mesh)
+
+    out_dir = ensure_dir(args.output_dir)
+    ckpt = Checkpointer(out_dir + "/orbax")
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(target=state)
+        print(f"resumed from step {int(state.step)}")
+    logger = MetricLogger(cfg.train.log_dir, f"{cfg.dataset.name}_vqvae")
+    trainer = Trainer(
+        step, state, mesh=mesh, logger=logger, checkpointer=ckpt,
+        checkpoint_every=cfg.train.checkpoint_every,
+        rng=jax.random.PRNGKey(cfg.train.seed),
+    )
+
+    for epoch in range(1, epochs + 1):
+        data = (
+            decode_motion(cfg, b, flame)
+            for b in _batches(splits.train, cfg, args, epoch_seed=epoch)
+        )
+        means = trainer.run_epoch(data, epoch)
+        print(f"epoch {epoch}: loss={means.get('loss', float('nan')):.5f} "
+              f"recon={means.get('recon_loss', float('nan')):.5f} "
+              f"steps/s={means['steps_per_sec']:.2f}")
+        if epoch % cfg.train.eval_every == 0 and splits.valid:
+            val = _evaluate(ld, trainer.state.params, splits.valid, cfg, args, flame)
+            print(f"epoch {epoch}: val_recon={val:.5f}")
+            logger.log_epoch(epoch, {"val_recon": val})
+
+    save_params(f"{out_dir}/{cfg.dataset.name}_vqvae_params.msgpack",
+                trainer.state.params)
+    logger.close()
+    ckpt.close()
+    return 0
+
+
+def _batches(records, cfg, args, epoch_seed: int):
+    from fdm_tpu.data import batch_iterator
+
+    return batch_iterator(
+        records, cfg.train.batch_size, bucket=cfg.train.frame_bucket,
+        max_frames=cfg.train.max_frames, fps=cfg.dataset.fps,
+        include_audio=False, shuffle=True, seed=args.seed + epoch_seed,
+        drop_last=jax.device_count() > 1 and cfg.train.batch_size > 1,
+    )
+
+
+def _evaluate(ld, params, records, cfg, args, flame) -> float:
+    total, n = 0.0, 0
+    for batch in _batches(records, cfg, args, epoch_seed=0):
+        batch = decode_motion(cfg, batch, flame)
+        _, metrics = ld.stage1_train_loss(
+            params, batch["motion"], batch["template"],
+            batch.get("emotion_one_hot"), batch.get("frame_mask"),
+        )
+        total += float(metrics["recon_loss"])
+        n += 1
+    return total / max(n, 1)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,145 @@
+"""Pallas TPU kernel: fused self-attention with on-the-fly ALiBi-causal bias.
+
+The FDM denoiser's self-attention adds a period-bucketed ALiBi bias under a
+causal mask (reference init_biased_mask, models/fdm_vqvae_mead.py:131-153 —
+the reference precomputes a dense (H, 600, 600) bias tensor and feeds torch
+MultiheadAttention). Fused here: one kernel instance per (batch, head)
+computes QK^T, regenerates the bias from indices (no HBM bias tensor at all),
+and applies softmax+PV entirely in VMEM.
+
+Sequence lengths in this framework are <=600 frames (bucketed), so a whole
+(T, T) score tile fits comfortably in VMEM (<2 MB at T=640) — a single-tile
+kernel beats a flash-style streaming kernel here: no online-softmax overhead
+and every matmul is one MXU pass.
+
+`alibi_attention` auto-dispatches: Pallas on TPU, identical-math XLA
+elsewhere (and under `interpret=True` for CPU tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fdm_tpu.ops.masks import alibi_slopes
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _attn_kernel(slope_ref, q_ref, k_ref, v_ref, out_ref, *, period: int,
+                 t_valid: int, scale: float):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    Tp = q.shape[0]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    i = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+    # bias(i, j) = -slope * floor((i - j) / period) on the causal span
+    bucket = jax.lax.div(i - j, jnp.int32(period))
+    bias = -slope_ref[0] * bucket.astype(jnp.float32)
+    allowed = (j <= i) & (j < t_valid)
+    logits = jnp.where(allowed, logits + bias, -jnp.inf)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    out = out / jnp.sum(p, axis=-1, keepdims=True)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def alibi_attention_pallas(
+    q: jnp.ndarray,                 # (B, H, T, hd)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    period: int,
+    slopes: Optional[np.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused causal-ALiBi attention; returns (B, H, T, hd)."""
+    B, H, T, hd = q.shape
+    if slopes is None:
+        slopes = alibi_slopes(H)
+    Tp = _round_up(T, _LANE)
+    hdp = _round_up(hd, _LANE)
+    pad = ((0, 0), (0, 0), (0, Tp - T), (0, hdp - hd))
+    qp = jnp.pad(q, pad).reshape(B * H, Tp, hdp)
+    kp = jnp.pad(k, pad).reshape(B * H, Tp, hdp)
+    vp = jnp.pad(v, pad).reshape(B * H, Tp, hdp)
+    slope_arr = jnp.tile(
+        jnp.asarray(slopes, jnp.float32).reshape(H, 1), (B, 1)
+    )  # (B*H, 1)
+
+    kernel = functools.partial(
+        _attn_kernel, period=period, t_valid=T, scale=hd**-0.5
+    )
+    bh_spec = pl.BlockSpec(
+        (1, Tp, hdp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            bh_spec, bh_spec, bh_spec,
+        ],
+        out_specs=bh_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, Tp, hdp), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tp * Tp * hdp,
+            bytes_accessed=4 * B * H * Tp * hdp * 4,
+            transcendentals=B * H * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(slope_arr, qp, kp, vp)
+    return out.reshape(B, H, Tp, hdp)[:, :, :T, :hd]
+
+
+def alibi_attention_xla(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, period: int,
+    slopes: Optional[np.ndarray] = None,
+) -> jnp.ndarray:
+    """Identical math in plain XLA (fallback + test oracle)."""
+    B, H, T, hd = q.shape
+    if slopes is None:
+        slopes = alibi_slopes(H)
+    logits = jnp.einsum("bhid,bhjd->bhij", q, k) * (hd**-0.5)
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    bucket = ((i - j) // period).astype(jnp.float32)
+    bias = -jnp.asarray(slopes, jnp.float32)[:, None, None] * bucket[None]
+    logits = jnp.where(
+        (j <= i)[None, None], logits.astype(jnp.float32) + bias[None], -jnp.inf
+    )
+    attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhij,bhjd->bhid", attn, v)
+
+
+def alibi_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, period: int,
+    slopes: Optional[np.ndarray] = None,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Causal ALiBi attention, (B, H, T, hd) -> (B, H, T, hd).
+
+    use_pallas=None auto-selects the Pallas kernel on TPU backends."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return alibi_attention_pallas(q, k, v, period, slopes)
+    return alibi_attention_xla(q, k, v, period, slopes)

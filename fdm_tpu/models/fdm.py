@@ -51,9 +51,12 @@ class TorchMHA(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mem, bias: Optional[jnp.ndarray] = None):
+    def __call__(self, x, mem, bias: Optional[jnp.ndarray] = None,
+                 fused_alibi_period: Optional[int] = None):
         """x: (B, T, D) queries; mem: (B, S, D) keys/values;
-        bias: additive attention bias (H, T, S) or (T, S)."""
+        bias: additive attention bias (H, T, S) or (T, S).
+        fused_alibi_period: when set (self-attention only), dispatch to the
+        Pallas fused causal-ALiBi kernel instead of adding `bias`."""
         D, H = self.dim, self.n_head
         hd = D // H
         q = nn.Dense(D, dtype=self.dtype, name="q")(x)
@@ -64,6 +67,12 @@ class TorchMHA(nn.Module):
         q = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        if fused_alibi_period is not None:
+            from fdm_tpu.kernels import alibi_attention
+
+            out = alibi_attention(q, k, v, fused_alibi_period)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+            return nn.Dense(D, dtype=self.dtype, name="out")(out)
         logits = jnp.einsum("bhid,bhjd->bhij", q, k) * (hd**-0.5)
         if bias is not None:
             if bias.ndim == 2:
@@ -102,6 +111,8 @@ class FDM(nn.Module):
     config: FDMConfig
     dtype: jnp.dtype = jnp.float32
     cross_mode: str = "fast"  # "fast" (diagonal-exact) | "full" (masked attn)
+    self_attn_mode: str = "table"  # "table" (dense ALiBi bias) | "fused"
+                                   # (Pallas kernel, regenerates the bias)
 
     def setup(self):
         cfg = self.config
@@ -122,7 +133,8 @@ class FDM(nn.Module):
             layers.append(
                 _DecoderLayer(
                     D, cfg.n_head, cfg.ffn_dim, cfg.dropout, self.dtype,
-                    self.cross_mode, name=f"layer_{i}",
+                    self.cross_mode, self.self_attn_mode,
+                    alibi_period=cfg.alibi_period, name=f"layer_{i}",
                 )
             )
         self.layers = layers
@@ -223,6 +235,8 @@ class _DecoderLayer(nn.Module):
     dropout: float
     dtype: jnp.dtype
     cross_mode: str
+    self_attn_mode: str = "table"
+    alibi_period: int = 30
 
     def setup(self):
         self.self_attn = TorchMHA(self.dim, self.n_head, self.dtype)
@@ -238,7 +252,10 @@ class _DecoderLayer(nn.Module):
         self.drop = nn.Dropout(self.dropout)
 
     def __call__(self, x, mem, self_bias, deterministic=True):
-        h = self.self_attn(x, x, self_bias)
+        if self.self_attn_mode == "fused":
+            h = self.self_attn(x, x, fused_alibi_period=self.alibi_period)
+        else:
+            h = self.self_attn(x, x, self_bias)
         x = self.norm1(x + self.drop(h, deterministic=deterministic))
         if self.cross_mode == "fast":
             h = self.cross_attn(x, mem)

@@ -51,14 +51,16 @@ class LatentDiffusion:
 
     @classmethod
     def create(cls, config: PipelineConfig, dtype=jnp.float32,
-               cross_mode: str = "fast") -> "LatentDiffusion":
+               cross_mode: str = "fast",
+               self_attn_mode: str = "table") -> "LatentDiffusion":
         return cls(
             config=config,
             schedule=make_schedule(
                 config.diffusion.timesteps, config.diffusion.cosine_s
             ),
             vqvae=VQAutoEncoder(config.vqvae, dtype=dtype),
-            fdm=FDM(config.fdm, dtype=dtype, cross_mode=cross_mode),
+            fdm=FDM(config.fdm, dtype=dtype, cross_mode=cross_mode,
+                    self_attn_mode=self_attn_mode),
         )
 
     # ---------------- stage 1 training ----------------

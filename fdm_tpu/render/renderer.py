@@ -1,0 +1,124 @@
+"""Host-side visualization: vertex sequences -> video.
+
+Capability parity with the reference's render CLIs (reference
+render/render.py:21-157, render_mead.py) re-based on in-image dependencies:
+the reference needs pyrender + OSMesa + psbody.mesh + an ffmpeg binary; this
+renderer is a numpy point-splat rasterizer (orthographic VOCA-style front
+view, depth-shaded) written straight to mp4 via OpenCV, with optional ffmpeg
+audio muxing when the binary exists. Rendering is offline tooling, not a TPU
+workload (SURVEY.md §2.4), so staying host-side numpy is the idiomatic
+choice.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+
+def project_orthographic(
+    vertices: np.ndarray,               # (V, 3)
+    size: int,
+    bounds: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    margin: float = 0.08,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Front-view orthographic projection to pixel coordinates.
+
+    Returns ((V, 2) int pixel xy, (V,) depth in [0, 1]). `bounds` fixes the
+    normalization box across frames so the head doesn't swim."""
+    if bounds is None:
+        lo, hi = vertices.min(axis=0), vertices.max(axis=0)
+    else:
+        lo, hi = bounds
+    span = float((hi - lo).max()) or 1.0
+    center = (lo + hi) / 2.0
+    norm = (vertices - center) / span  # ~[-0.5, 0.5]
+    scale = size * (1.0 - 2.0 * margin)
+    x = (norm[:, 0] * scale + size / 2.0).astype(np.int32)
+    # image y grows downward; mesh y grows upward
+    y = (size / 2.0 - norm[:, 1] * scale).astype(np.int32)
+    z = norm[:, 2] + 0.5
+    xy = np.stack([np.clip(x, 0, size - 1), np.clip(y, 0, size - 1)], axis=1)
+    return xy, np.clip(z, 0.0, 1.0)
+
+
+def render_frame(
+    vertices: np.ndarray,               # (V, 3)
+    size: int = 800,
+    bounds: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    background: float = 0.0,
+) -> np.ndarray:
+    """One (size, size, 3) uint8 frame: depth-shaded point splat with a
+    3x3 dilation so dense meshes read as a surface."""
+    xy, z = project_orthographic(vertices, size, bounds)
+    depth = np.full((size, size), -np.inf, dtype=np.float32)
+    # z-buffer: keep the nearest (max z) point per pixel
+    np.maximum.at(depth, (xy[:, 1], xy[:, 0]), z.astype(np.float32))
+    img = np.where(np.isfinite(depth), 0.25 + 0.75 * depth, background)
+    # dilate to close gaps between splatted points
+    try:
+        import cv2
+
+        img = cv2.dilate(img, np.ones((3, 3), np.float32))
+        img = cv2.GaussianBlur(img, (3, 3), 0)
+    except ImportError:
+        pass
+    gray = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    return np.stack([gray, gray, gray], axis=-1)
+
+
+def render_sequence(
+    vertices: np.ndarray,               # (T, V, 3) or (T, V*3)
+    size: int = 800,
+) -> Iterable[np.ndarray]:
+    """Yield one frame per timestep with sequence-constant normalization."""
+    verts = np.asarray(vertices, np.float32)
+    if verts.ndim == 2:
+        verts = verts.reshape(verts.shape[0], -1, 3)
+    lo = verts.reshape(-1, 3).min(axis=0)
+    hi = verts.reshape(-1, 3).max(axis=0)
+    for t in range(verts.shape[0]):
+        yield render_frame(verts[t], size, bounds=(lo, hi))
+
+
+def write_video(
+    frames: Iterable[np.ndarray],
+    path: str,
+    fps: int = 25,
+    audio_path: Optional[str] = None,
+) -> int:
+    """Write frames to an .mp4 (cv2 VideoWriter); mux audio with ffmpeg when
+    the binary is available (the reference shells out to ffmpeg for both
+    encode and mux, render/render.py:146-153). Returns the frame count."""
+    import cv2
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    writer = None
+    count = 0
+    for frame in frames:
+        if writer is None:
+            h, w = frame.shape[:2]
+            writer = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+            )
+        writer.write(frame[..., ::-1])  # RGB -> BGR
+        count += 1
+    if writer is not None:
+        writer.release()
+
+    if audio_path and shutil.which("ffmpeg"):
+        muxed = path + ".muxed.mp4"
+        result = subprocess.run(
+            ["ffmpeg", "-y", "-i", path, "-i", audio_path, "-c:v", "copy",
+             "-c:a", "aac", "-shortest", muxed],
+            capture_output=True,
+        )
+        if result.returncode == 0:
+            os.replace(muxed, path)
+    elif audio_path:
+        print("ffmpeg not found; wrote silent video")
+    return count

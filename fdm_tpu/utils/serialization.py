@@ -1,0 +1,32 @@
+"""Single-file parameter serialization (msgpack via flax).
+
+Orbax (fdm_tpu.utils.checkpoint) owns training checkpoints (params +
+optimizer state + step with retention); this module is for standalone
+parameter artifacts — trained stage-1/stage-2 weights consumed by the
+sample/demo CLIs, mirroring the reference's model-{epoch}.mpt /
+model.pth.tar files (reference train/train_mead_vqvae.py:147-153)."""
+
+from __future__ import annotations
+
+import os
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def save_params(path: str, params) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(params))
+
+
+def load_params(path: str):
+    with open(path, "rb") as f:
+        restored = flax.serialization.msgpack_restore(f.read())
+    # device arrays, not numpy: numpy leaves break tracer-indexed lookups
+    # (codebook[indices]) and force a host->device copy per jit call
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, restored)

@@ -1,0 +1,174 @@
+"""End-to-end CLI tests: the full reference entry-point surface
+(train -> sample -> demo -> metrics -> render) driven in-process on tiny
+synthetic configs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _run(module, argv):
+    return module.main(argv)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    path = tmp_path_factory.mktemp("cli")
+    old = os.getcwd()
+    os.chdir(path)
+    yield path
+    os.chdir(old)
+
+
+BASE = ["--dataset", "vocaset", "--synthetic", "--tiny"]
+
+
+@pytest.fixture(scope="module")
+def stage1_params(workdir):
+    from fdm_tpu.cli import train_vqvae
+
+    assert _run(
+        train_vqvae,
+        BASE + ["--epochs", "1", "--output_dir", "s1"],
+    ) == 0
+    path = "s1/vocaset_vqvae_params.msgpack"
+    assert os.path.exists(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def stage2_params(workdir, stage1_params):
+    from fdm_tpu.cli import train_diffusion
+
+    assert _run(
+        train_diffusion,
+        BASE + ["--epochs", "1", "--stage1", stage1_params,
+                "--output_dir", "s2"],
+    ) == 0
+    path = "s2/vocaset_fdm_params.msgpack"
+    assert os.path.exists(path)
+    return path
+
+
+def test_sample_vqvae_roundtrip(workdir, stage1_params):
+    from fdm_tpu.cli import sample_vqvae
+
+    assert _run(
+        sample_vqvae,
+        BASE + ["--params", stage1_params, "--output_dir", "vq_out"],
+    ) == 0
+    files = [f for f in os.listdir("vq_out") if f.endswith(".npy")]
+    assert len(files) == 2
+    arr = np.load(os.path.join("vq_out", files[0]))
+    assert arr.ndim == 2 and arr.shape[1] == 30 and np.isfinite(arr).all()
+
+
+def test_sample_diffusion_with_conditions(workdir, stage1_params, stage2_params):
+    from fdm_tpu.cli import sample_diffusion
+
+    assert _run(
+        sample_diffusion,
+        BASE + ["--stage1", stage1_params, "--stage2", stage2_params,
+                "--output_dir", "diff_out", "--all_conditions",
+                "--steps", "3"],
+    ) == 0
+    files = sorted(os.listdir("diff_out"))
+    # 2 test records x 8 identity conditions
+    assert len(files) == 16
+    assert any("_condition_0" in f for f in files)
+
+
+def test_demo_and_render(workdir, stage1_params, stage2_params):
+    from fdm_tpu.cli import demo, render
+
+    assert _run(
+        demo,
+        BASE + ["--stage1", stage1_params, "--stage2", stage2_params,
+                "--output", "demo_out/gen.npy", "--steps", "3"],
+    ) == 0
+    arr = np.load("demo_out/gen.npy")
+    assert arr.ndim == 2 and np.isfinite(arr).all()
+
+    assert _run(
+        render,
+        ["--pred_path", "demo_out/gen.npy", "--output_dir", "videos",
+         "--fps", "30", "--size", "64"],
+    ) == 0
+    assert os.path.getsize("videos/gen.mp4") > 0
+
+
+def test_metrics_cli(workdir, stage1_params, stage2_params, capsys):
+    from fdm_tpu.cli import metrics
+
+    os.makedirs("gt", exist_ok=True)
+    rng = np.random.RandomState(0)
+    for fname in os.listdir("diff_out"):
+        stem = fname[:-4].split("_condition_")[0]
+        arr = np.load(os.path.join("diff_out", fname))
+        np.save(
+            os.path.join("gt", stem + ".npy"),
+            arr + 0.01 * rng.randn(*arr.shape).astype(np.float32),
+        )
+    np.save("lip.npy", np.arange(4))
+    np.save("upper.npy", np.arange(4, 8))
+    assert _run(
+        metrics,
+        ["--pred_path", "diff_out", "--gt_path", "gt",
+         "--lip_region", "lip.npy", "--upper_region", "upper.npy", "--json"],
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for key in ("lve", "mve", "fdd", "abs_fdd", "diversity", "ave"):
+        assert key in out and np.isfinite(out[key])
+
+
+def test_mead_demo_with_flame(workdir):
+    from fdm_tpu.cli import demo
+
+    assert _run(
+        demo,
+        ["--dataset", "mead", "--synthetic", "--tiny", "--emotion", "happy",
+         "--steps", "2", "--output", "mead_demo/gen.npy"],
+    ) == 0
+    assert np.isfinite(np.load("mead_demo/gen.npy")).all()
+
+
+def test_dispatcher_lists_commands(capsys):
+    from fdm_tpu.__main__ import main
+
+    assert main(["--help"]) == 0
+    assert "train-vqvae" in capsys.readouterr().out
+    assert main([]) == 2
+    assert main(["bogus"]) == 2
+
+
+def test_preprocess_vocaset(workdir):
+    import pickle
+
+    from fdm_tpu.cli import preprocess_vocaset
+
+    rng = np.random.RandomState(1)
+    verts = rng.randn(10, 15, 3).astype(np.float32)
+    np.save("raw_verts.npy", verts)
+    index = {"subjA": {"sentence01": {i: i for i in range(5)},
+                       "sentence02": {i: 5 + i for i in range(5)}}}
+    with open("idx.pkl", "wb") as f:
+        pickle.dump(index, f)
+    audio = {"subjA": {"sentence01": {
+        "sample_rate": 16000,
+        "audio": (rng.randn(800) * 1000).astype(np.int16),
+    }}}
+    with open("audio.pkl", "wb") as f:
+        pickle.dump(audio, f)
+
+    assert _run(
+        preprocess_vocaset,
+        ["--verts_path", "raw_verts.npy", "--raw_audio_path", "audio.pkl",
+         "--data2array_verts_path", "idx.pkl", "--vertices_npy_path", "vnp",
+         "--wav_path", "wavs", "--vertices_dim", "45"],
+    ) == 0
+    seq = np.load("vnp/subjA_sentence01.npy")
+    assert seq.shape == (5, 45)
+    np.testing.assert_allclose(seq, verts[:5].reshape(5, 45))
+    assert os.path.exists("wavs/subjA_sentence01.wav")

@@ -1,0 +1,142 @@
+"""Metric parity tests: fdm_tpu.eval vs naive loops transcribing the
+reference math (reference metric/metric.py:115-138, computer_metrix.py:86-193)."""
+
+import numpy as np
+import pytest
+
+from fdm_tpu.eval import (
+    MetricAccumulator,
+    diversity,
+    fdd,
+    mean_vertex_error,
+    region_motion_std,
+    region_vertex_error,
+)
+
+rng = np.random.RandomState(0)
+
+
+def _naive_region_error(gt, pred, region, reduce):
+    # reference metric/metric.py:115-118 — per-vertex python loop
+    per_vertex = np.array(
+        [np.square(gt[:, v, :] - pred[:, v, :]) for v in region]
+    )  # (|R|, T, 3)
+    per_vertex = np.transpose(per_vertex, (1, 0, 2))
+    summed = np.sum(per_vertex, axis=2)  # (T, |R|)
+    return summed.max(axis=1) if reduce == "max" else summed.mean(axis=1)
+
+
+def _naive_motion_std(vertices, template, region):
+    # reference computer_metrix.py:97-104
+    motion = vertices - template.reshape(1, -1, 3)
+    arr = np.array([np.square(motion[:, v, :]) for v in region])
+    arr = np.transpose(arr, (1, 0, 2))
+    arr = np.sum(arr, axis=2)
+    return float(np.mean(np.std(arr, axis=0)))
+
+
+@pytest.fixture
+def seqs():
+    T, V = 17, 40
+    gt = rng.randn(T, V, 3).astype(np.float32)
+    pred = gt + 0.05 * rng.randn(T, V, 3).astype(np.float32)
+    region = rng.choice(V, size=11, replace=False)
+    template = rng.randn(V, 3).astype(np.float32)
+    return gt, pred, region, template
+
+
+def test_region_error_max_matches_reference_loop(seqs):
+    gt, pred, region, _ = seqs
+    ours = region_vertex_error(gt, pred, region, reduce="max")
+    ref = _naive_region_error(gt, pred, region, "max")
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_region_error_mean_matches_reference_loop(seqs):
+    gt, pred, region, _ = seqs
+    ours = region_vertex_error(gt, pred, region, reduce="mean")
+    ref = _naive_region_error(gt, pred, region, "mean")
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_motion_std_and_fdd_match_reference_loop(seqs):
+    gt, pred, region, template = seqs
+    assert region_motion_std(gt, template, region) == pytest.approx(
+        _naive_motion_std(gt, template, region), rel=1e-6
+    )
+    expected = _naive_motion_std(gt, template, region) - _naive_motion_std(
+        pred, template, region
+    )
+    assert fdd(gt, pred, template, region) == pytest.approx(expected, rel=1e-6)
+
+
+def test_mve_matches_reference(seqs):
+    gt, pred, _, _ = seqs
+    # reference computer_metrix.py:124-125
+    ref = np.linalg.norm(gt - pred, axis=2).mean(axis=1)
+    np.testing.assert_allclose(mean_vertex_error(gt, pred), ref, rtol=1e-6)
+
+
+def test_diversity_matches_reference_pairwise():
+    T, V = 9, 20
+    preds = [rng.randn(T, V, 3) for _ in range(4)]
+    total = 0.0
+    for i in range(3):
+        for j in range(i + 1, 4):
+            total += np.linalg.norm(preds[i] - preds[j], axis=2).mean(axis=1).mean()
+    assert diversity(preds) == pytest.approx(total / 6.0, rel=1e-6)
+    with pytest.raises(ValueError):
+        diversity(preds[:1])
+
+
+def test_accumulator_pools_frames_across_sequences(seqs):
+    gt, pred, region, template = seqs
+    gt2 = rng.randn(11, gt.shape[1], 3).astype(np.float32)
+    pred2 = gt2 + 0.1 * rng.randn(*gt2.shape).astype(np.float32)
+
+    acc = MetricAccumulator(
+        {"lip": region, "emotion": region}, fdd_region="emotion"
+    )
+    acc.update(gt, pred, template)
+    acc.update(gt2, pred2, template)
+    res = acc.result()
+
+    # pooled LVE: per-frame maxima concatenated across sequences, then mean
+    lve_ref = np.mean(
+        np.concatenate(
+            [
+                _naive_region_error(gt, pred, region, "max"),
+                _naive_region_error(gt2, pred2, region, "max"),
+            ]
+        )
+    )
+    eme_ref = np.mean(
+        np.concatenate(
+            [
+                _naive_region_error(gt, pred, region, "mean"),
+                _naive_region_error(gt2, pred2, region, "mean"),
+            ]
+        )
+    )
+    assert res["lve"] == pytest.approx(lve_ref, rel=1e-6)
+    assert res["eme"] == pytest.approx(eme_ref, rel=1e-6)
+    assert res["num_sequences"] == 2
+    assert res["num_frames"] == gt.shape[0] + gt2.shape[0]
+    assert "fdd" in res and "abs_fdd" in res and "mve" in res and "ave" in res
+
+
+def test_accumulator_trims_to_common_length(seqs):
+    gt, pred, region, _ = seqs
+    acc = MetricAccumulator({"lip": region})
+    acc.update(gt, pred[:10])  # pred shorter
+    assert acc.result()["num_frames"] == 10
+
+
+def test_flat_input_accepted(seqs):
+    gt, pred, region, _ = seqs
+    flat = region_vertex_error(
+        gt.reshape(gt.shape[0], -1), pred.reshape(pred.shape[0], -1), region
+    )
+    np.testing.assert_allclose(
+        flat, region_vertex_error(gt, pred, region), rtol=1e-6
+    )

@@ -1,5 +1,6 @@
 from fdm_tpu.train.loop import (
     TrainState,
+    accumulating_optimizer,
     create_train_state,
     default_optimizer,
     make_stage1_step,
@@ -10,6 +11,7 @@ from fdm_tpu.train.loop import (
 
 __all__ = [
     "TrainState",
+    "accumulating_optimizer",
     "create_train_state",
     "default_optimizer",
     "make_stage1_step",

@@ -30,13 +30,25 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    ema_params: Any = None
 
 
-def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(params, tx: optax.GradientTransformation,
+                       ema_decay: float = 0.0) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
+        ema_params=params if ema_decay > 0 else None,
+    )
+
+
+def _ema_update(ema_params, params, decay: float):
+    """Exponential moving average of params (the reference keeps EMA only in
+    its vestigial lucidrains Trainer, diffusion_mead_encoder_decoder.py:110-123
+    — here it is a first-class option of the jitted step)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), ema_params, params
     )
 
 
@@ -52,6 +64,7 @@ def make_stage1_step(
     tx: optax.GradientTransformation,
     mesh=None,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ):
     """Jitted VQ-VAE train step: (state, batch) -> (state, metrics).
 
@@ -72,7 +85,11 @@ def make_stage1_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(state.step + 1, params, opt_state), metrics
+        ema = (
+            _ema_update(state.ema_params, params, ema_decay)
+            if state.ema_params is not None else None
+        )
+        return TrainState(state.step + 1, params, opt_state, ema), metrics
 
     return _compile_step(step, mesh, donate)
 
@@ -83,6 +100,7 @@ def make_stage2_step(
     vq_params,
     mesh=None,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ):
     """Jitted diffusion train step over the FDM with the stage-1 codec frozen.
 
@@ -108,9 +126,25 @@ def make_stage2_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(state.step + 1, params, opt_state), metrics
+        ema = (
+            _ema_update(state.ema_params, params, ema_decay)
+            if state.ema_params is not None else None
+        )
+        return TrainState(state.step + 1, params, opt_state, ema), metrics
 
     return _compile_step(step, mesh, donate)
+
+
+def accumulating_optimizer(
+    tx: optax.GradientTransformation, every: int
+) -> optax.GradientTransformation:
+    """Gradient accumulation: average grads over `every` micro-batches, apply
+    once (the reference's vestigial Trainer loops gradient_accumulate_every
+    backward passes, diffusion_mead_encoder_decoder.py:955-965; here it wraps
+    the optimizer so the jitted step is unchanged)."""
+    if every <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=every)
 
 
 def _compile_step(step: Callable, mesh, donate: bool):

@@ -1,0 +1,93 @@
+"""Native C++ data runtime: npy/wav decode parity vs numpy/scipy, and the
+threaded prefetch ring. Builds the library on demand (skips without g++)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fdm_tpu.data import native
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not native.build_native():
+        pytest.skip("g++/make unavailable; native runtime not built")
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.float16,
+                                   np.int16, np.int32, np.int64])
+def test_read_npy_dtype_parity(tmp_path, dtype):
+    rng = np.random.RandomState(0)
+    if np.issubdtype(dtype, np.floating):
+        arr = rng.randn(7, 5, 3).astype(dtype)
+    else:
+        arr = rng.randint(-1000, 1000, (7, 5, 3)).astype(dtype)
+    path = str(tmp_path / "a.npy")
+    np.save(path, arr)
+    got = native.read_npy(path)
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, arr.astype(np.float32), rtol=1e-6)
+
+
+def test_read_npy_large_header_v1(tmp_path):
+    # 1-D and 0-d corner cases
+    path = str(tmp_path / "b.npy")
+    np.save(path, np.arange(10, dtype=np.float32))
+    np.testing.assert_array_equal(native.read_npy(path), np.arange(10))
+
+
+def test_read_wav_pcm16(tmp_path):
+    from scipy.io import wavfile
+
+    rng = np.random.RandomState(1)
+    samples = (rng.randn(1600) * 8000).astype(np.int16)
+    path = str(tmp_path / "a.wav")
+    wavfile.write(path, 16000, samples)
+    wav, sr = native.read_wav_pcm16(path)
+    assert sr == 16000
+    np.testing.assert_allclose(wav, samples.astype(np.float32) / 32768.0,
+                               atol=1e-7)
+
+
+def test_read_wav_stereo_downmix(tmp_path):
+    from scipy.io import wavfile
+
+    rng = np.random.RandomState(2)
+    samples = (rng.randn(800, 2) * 8000).astype(np.int16)
+    path = str(tmp_path / "st.wav")
+    wavfile.write(path, 22050, samples)
+    wav, sr = native.read_wav_pcm16(path)
+    assert sr == 22050
+    want = (samples.astype(np.float32) / 32768.0).mean(axis=1)
+    np.testing.assert_allclose(wav, want, atol=1e-6)
+
+
+def test_prefetcher_returns_all_items(tmp_path):
+    rng = np.random.RandomState(3)
+    arrays = [rng.randn(4 + i, 6).astype(np.float32) for i in range(20)]
+    paths = []
+    for i, arr in enumerate(arrays):
+        p = str(tmp_path / f"seq_{i:02d}.npy")
+        np.save(p, arr)
+        paths.append(p)
+
+    pf = native.NpyPrefetcher(paths, capacity=3, workers=4)
+    seen = {}
+    for idx, arr in pf:
+        seen[idx] = arr
+    pf.close()
+
+    assert sorted(seen) == list(range(20))
+    for i in range(20):
+        np.testing.assert_array_equal(seen[i], arrays[i])
+
+
+def test_prefetcher_error_on_missing_file(tmp_path):
+    p = str(tmp_path / "ok.npy")
+    np.save(p, np.zeros((2, 2), np.float32))
+    pf = native.NpyPrefetcher([p, str(tmp_path / "missing.npy")], workers=1)
+    with pytest.raises(IOError):
+        for _ in pf:
+            pass
+    pf.close()

@@ -130,3 +130,32 @@ def test_trainer_epoch_and_checkpoint(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     logger.close()
     ckpt.close()
+
+
+def test_ema_and_grad_accumulation():
+    import optax
+
+    from fdm_tpu.train import accumulating_optimizer
+
+    cfg = tiny_pipeline()
+    ld, vq_params, *_ = init_pipeline(cfg)
+    base = optax.sgd(0.1)
+    tx = accumulating_optimizer(base, every=2)
+    state = create_train_state(vq_params, tx, ema_decay=0.9)
+    step = make_stage1_step(ld, tx, donate=False, ema_decay=0.9)
+    batch = _stage1_batch(cfg, B=4)
+
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, _ = step(state, batch)
+    # first micro-batch: MultiSteps holds updates, params unchanged
+    np.testing.assert_array_equal(
+        jax.tree_util.tree_leaves(state.params)[0], p0
+    )
+    state, _ = step(state, batch)
+    p2 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p2), np.asarray(p0))
+    # EMA trails the raw params: ema = 0.9*old + 0.1*new at each step
+    e2 = jax.tree_util.tree_leaves(state.ema_params)[0]
+    assert not np.allclose(np.asarray(e2), np.asarray(p2))
+    expected = 0.9 * (0.9 * p0 + 0.1 * p0) + 0.1 * p2
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(expected), rtol=1e-5)

@@ -63,6 +63,11 @@ def build(seconds: float, steps: int, fused: bool = False,
         jnp.zeros((B,), jnp.int32), audio_hidden0, style, emo,
     )
 
+    # params/inputs are jit ARGUMENTS, never closure captures: a captured
+    # device array is baked into the program as an HLO constant, and on this
+    # backend serializing ~10^8 weight literals into the compile RPC takes
+    # minutes (measured: 8 min for the denoise scan alone) vs seconds as
+    # parameters.
     if include_audio_encoder:
         encoder = AudioEncoder(get_encoder_config(cfg.fdm.audio_encoder))
         # pad so the conv stack yields >= 2T frames at ~50 Hz (320-sample hop)
@@ -75,24 +80,30 @@ def build(seconds: float, steps: int, fused: bool = False,
         )
 
         @jax.jit
-        def generate(k):
+        def _generate(enc_params, vq_params, fdm_params, wav, k):
             hidden = encoder.apply(enc_params, wav, even_trim=False)
             audio_hidden = pair_frames(hidden, pair)[:, :T]
             return ld.generate(
                 vq_params, fdm_params, k, audio_hidden, template, style,
                 emo, sampler="ddpm", num_steps=steps,
             )
+
+        def generate(k):
+            return _generate(enc_params, vq_params, fdm_params, wav, k)
     else:
         audio_hidden = jax.random.normal(
             jax.random.PRNGKey(4), (B, T, cfg.fdm.audio_dim * pair)
         )
 
         @jax.jit
-        def generate(k):
+        def _generate(vq_params, fdm_params, audio_hidden, k):
             return ld.generate(
                 vq_params, fdm_params, k, audio_hidden, template, style,
                 emo, sampler="ddpm", num_steps=steps,
             )
+
+        def generate(k):
+            return _generate(vq_params, fdm_params, audio_hidden, k)
 
     return generate
 

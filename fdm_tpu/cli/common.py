@@ -152,12 +152,24 @@ class FlameDecoder:
                 num_vertices=cfg.dataset.vertex_count
             )
 
-        def decode(params):  # (B, T, P) -> (B, T, V*3)
+        # model tensors enter as jit args (closure capture would embed the
+        # ~24 MB shapedirs as HLO constants; see bench.py note)
+        n_expr = self.n_expr
+        base = self.model
+
+        @jax.jit
+        def decode(weights, params):  # (B, T, P) -> (B, T, V*3)
+            model = base._replace(**weights)
             return jax.vmap(
-                lambda p: params_to_vertices(self.model, p, n_expr=self.n_expr)
+                lambda p: params_to_vertices(model, p, n_expr=n_expr)
             )(params)
 
-        self._decode = jax.jit(decode)
+        self._weights = {
+            k: getattr(base, k)
+            for k in ("v_template", "shapedirs", "posedirs", "j_regressor",
+                      "lbs_weights")
+        }
+        self._decode = lambda params: decode(self._weights, params)
 
     def __call__(self, params: jnp.ndarray) -> jnp.ndarray:
         return self._decode(params)

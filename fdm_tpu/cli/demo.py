@@ -120,14 +120,16 @@ def main(argv=None) -> int:
             jnp.zeros((1,), jnp.int32), audio_hidden, style, emotion,
         )
 
+    # params as jit args, not closure captures (HLO-constant compile blowup)
+    generate = jax.jit(
+        lambda vq_p, fdm_p, ah, tmpl, k: ld.generate(
+            vq_p, fdm_p, k, ah, tmpl, style, emotion, sampler=sampler,
+            num_steps=args.steps, cfg_scale=args.cfg_scale,
+        )
+    )
     verts = np.asarray(
-        jax.jit(
-            lambda k: ld.generate(
-                vq_params, fdm_params, k, audio_hidden,
-                jnp.asarray(template), style, emotion, sampler=sampler,
-                num_steps=args.steps, cfg_scale=args.cfg_scale,
-            )
-        )(jax.random.PRNGKey(args.seed + 2))
+        generate(vq_params, fdm_params, audio_hidden, jnp.asarray(template),
+                 jax.random.PRNGKey(args.seed + 2))
     )[0, :T]
 
     ensure_dir(os.path.dirname(os.path.abspath(args.output)))

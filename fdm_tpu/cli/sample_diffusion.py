@@ -76,12 +76,20 @@ def main(argv=None) -> int:
 
     vq_params, fdm_params = _init_params(ld, cfg, args, records, flame, frontend)
 
+    # params as jit args (closure-captured arrays become HLO constants —
+    # pathological compile times for big weight trees)
     @jax.jit
-    def generate(key, audio_hidden, template, style, emotion):
+    def _generate(vq_params, fdm_params, key, audio_hidden, template, style,
+                  emotion):
         return ld.generate(
             vq_params, fdm_params, key, audio_hidden, template, style,
             emotion, sampler=sampler, num_steps=args.steps,
             cfg_scale=args.cfg_scale,
+        )
+
+    def generate(key, audio_hidden, template, style, emotion):
+        return _generate(
+            vq_params, fdm_params, key, audio_hidden, template, style, emotion
         )
 
     out_dir = ensure_dir(args.output_dir)

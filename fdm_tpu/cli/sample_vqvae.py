@@ -71,10 +71,15 @@ def main(argv=None) -> int:
             batch0["template"], batch0.get("emotion_one_hot"),
         )
 
+    # params as jit args (closure-captured arrays become HLO constants —
+    # pathological compile times for big weight trees)
     @jax.jit
-    def roundtrip(motion, template, emotion):
+    def _roundtrip(vq_params, motion, template, emotion):
         recon, _, _ = ld.vqvae.apply(vq_params, motion, template, emotion)
         return recon
+
+    def roundtrip(motion, template, emotion):
+        return _roundtrip(vq_params, motion, template, emotion)
 
     out_dir = ensure_dir(args.output_dir)
     total_err, total_n = 0.0, 0

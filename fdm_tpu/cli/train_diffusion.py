@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--output_dir", default="checkpoints/stage2")
     parser.add_argument("--flame_model", default=None)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help="EMA of params in the jitted step (0 = off)")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="micro-batches per optimizer update")
     return parser
 
 
@@ -54,7 +58,7 @@ def main(argv=None) -> int:
     from fdm_tpu.data import batch_iterator
     from fdm_tpu.models import LatentDiffusion
     from fdm_tpu.train import (
-        Trainer, create_train_state, default_optimizer, make_stage2_step,
+        Trainer, accumulating_optimizer, create_train_state, default_optimizer, make_stage2_step,
         replicate_state,
     )
     from fdm_tpu.utils.checkpoint import Checkpointer
@@ -96,11 +100,14 @@ def main(argv=None) -> int:
     )
 
     mesh = choose_mesh(cfg.train.batch_size)
-    tx = default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
-    state = create_train_state(fdm_params, tx)
+    tx = accumulating_optimizer(
+        default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay),
+        args.grad_accum,
+    )
+    state = create_train_state(fdm_params, tx, ema_decay=args.ema_decay)
     if mesh is not None:
         state = replicate_state(state, mesh)
-    step = make_stage2_step(ld, tx, vq_params, mesh=mesh)
+    step = make_stage2_step(ld, tx, vq_params, mesh=mesh, ema_decay=args.ema_decay)
 
     out_dir = ensure_dir(args.output_dir)
     ckpt = Checkpointer(out_dir + "/orbax")

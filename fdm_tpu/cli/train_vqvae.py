@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--flame_model", default=None,
                         help="FLAME generic_model.pkl (MEAD; synthetic if unset)")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help="EMA of params in the jitted step (0 = off)")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="micro-batches per optimizer update")
     return parser
 
 
@@ -48,7 +52,7 @@ def main(argv=None) -> int:
     from fdm_tpu.data import batch_iterator
     from fdm_tpu.models import LatentDiffusion
     from fdm_tpu.train import (
-        Trainer, create_train_state, default_optimizer, make_stage1_step,
+        Trainer, accumulating_optimizer, create_train_state, default_optimizer, make_stage1_step,
         replicate_state,
     )
     from fdm_tpu.utils.checkpoint import Checkpointer
@@ -75,11 +79,14 @@ def main(argv=None) -> int:
     )
 
     mesh = choose_mesh(cfg.train.batch_size)
-    tx = default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay)
-    state = create_train_state(vq_params, tx)
+    tx = accumulating_optimizer(
+        default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay),
+        args.grad_accum,
+    )
+    state = create_train_state(vq_params, tx, ema_decay=args.ema_decay)
     if mesh is not None:
         state = replicate_state(state, mesh)
-    step = make_stage1_step(ld, tx, mesh=mesh)
+    step = make_stage1_step(ld, tx, mesh=mesh, ema_decay=args.ema_decay)
 
     out_dir = ensure_dir(args.output_dir)
     ckpt = Checkpointer(out_dir + "/orbax")
@@ -126,14 +133,18 @@ def _batches(records, cfg, args, epoch_seed: int):
 
 
 def _evaluate(ld, params, records, cfg, args, flame) -> float:
+    loss_fn = jax.jit(
+        lambda p, motion, template, emo, mask: ld.stage1_train_loss(
+            p, motion, template, emo, mask
+        )[1]["recon_loss"]
+    )
     total, n = 0.0, 0
     for batch in _batches(records, cfg, args, epoch_seed=0):
         batch = decode_motion(cfg, batch, flame)
-        _, metrics = ld.stage1_train_loss(
+        total += float(loss_fn(
             params, batch["motion"], batch["template"],
             batch.get("emotion_one_hot"), batch.get("frame_mask"),
-        )
-        total += float(metrics["recon_loss"])
+        ))
         n += 1
     return total / max(n, 1)
 

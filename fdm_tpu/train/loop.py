@@ -39,7 +39,11 @@ def create_train_state(params, tx: optax.GradientTransformation,
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        ema_params=params if ema_decay > 0 else None,
+        # fresh buffers: aliasing params would double-donate under the jitted
+        # step's donate_argnums
+        ema_params=(
+            jax.tree_util.tree_map(jnp.copy, params) if ema_decay > 0 else None
+        ),
     )
 
 
@@ -105,9 +109,13 @@ def make_stage2_step(
     """Jitted diffusion train step over the FDM with the stage-1 codec frozen.
 
     batch: dict(motion, template, audio_hidden, style_one_hot
-                [, emotion_one_hot][, frame_mask]); plus an rng key."""
+                [, emotion_one_hot][, frame_mask]); plus an rng key.
 
-    def step(state: TrainState, batch, key) -> tuple:
+    The frozen codec params enter the jitted step as an ARGUMENT (closure
+    capture would bake them into the program as HLO constants — measured
+    minutes of extra compile time on remote-compile backends)."""
+
+    def step(state: TrainState, batch, key, vq_params) -> tuple:
         def loss_fn(fdm_params):
             return ld.stage2_train_loss(
                 vq_params,
@@ -132,7 +140,12 @@ def make_stage2_step(
         )
         return TrainState(state.step + 1, params, opt_state, ema), metrics
 
-    return _compile_step(step, mesh, donate)
+    compiled = _compile_step(step, mesh, donate)
+
+    def bound_step(state, batch, key):
+        return compiled(state, batch, key, vq_params)
+
+    return bound_step
 
 
 def accumulating_optimizer(

@@ -104,6 +104,21 @@ def build_config(args) -> PipelineConfig:
     return get_config(args.dataset, **overrides)
 
 
+def make_pipeline(cfg: PipelineConfig):
+    """LatentDiffusion honoring cfg.train.compute_dtype (bf16 for speed,
+    fp32 for parity evals — SURVEY.md §7.3 float-semantics note) and
+    cfg.train.use_pallas (fused-attention denoiser)."""
+    from fdm_tpu.models import LatentDiffusion
+
+    dtype = (
+        jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    )
+    return LatentDiffusion.create(
+        cfg, dtype=dtype,
+        self_attn_mode="fused" if cfg.train.use_pallas else "table",
+    )
+
+
 def load_splits(cfg: PipelineConfig, args, read_audio: bool = True):
     if args.synthetic:
         from fdm_tpu.data import synthetic_splits

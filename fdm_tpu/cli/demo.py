@@ -27,6 +27,7 @@ from fdm_tpu.cli.common import (
     build_config,
     ensure_dir,
     load_params,
+    make_pipeline,
 )
 
 EMOTIONS = ("angry", "contempt", "disgusted", "fear", "happy", "neutral", "sad")
@@ -101,7 +102,7 @@ def main(argv=None) -> int:
     audio[0, : min(len(wav), samples)] = wav[:samples]
     audio_hidden = frontend(audio, T_pad)
 
-    ld = LatentDiffusion.create(cfg)
+    ld = make_pipeline(cfg)
     key = jax.random.PRNGKey(args.seed)
     if args.stage1:
         vq_params = load_params(args.stage1)

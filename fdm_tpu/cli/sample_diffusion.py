@@ -29,6 +29,7 @@ from fdm_tpu.cli.common import (
     ensure_dir,
     load_params,
     load_splits,
+    make_pipeline,
 )
 
 
@@ -72,7 +73,7 @@ def main(argv=None) -> int:
         if cfg.dataset.uses_flame_params else None
     )
     frontend = AudioFrontend(cfg, args.audio_params, seed=args.seed)
-    ld = LatentDiffusion.create(cfg)
+    ld = make_pipeline(cfg)
 
     vq_params, fdm_params = _init_params(ld, cfg, args, records, flame, frontend)
 

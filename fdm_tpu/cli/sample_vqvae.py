@@ -26,6 +26,7 @@ from fdm_tpu.cli.common import (
     ensure_dir,
     load_params,
     load_splits,
+    make_pipeline,
 )
 
 
@@ -55,7 +56,7 @@ def main(argv=None) -> int:
         FlameDecoder(cfg, args.flame_model)
         if cfg.dataset.uses_flame_params else None
     )
-    ld = LatentDiffusion.create(cfg)
+    ld = make_pipeline(cfg)
 
     batch0 = decode_motion(
         cfg,

@@ -28,6 +28,7 @@ from fdm_tpu.cli.common import (
     ensure_dir,
     load_params,
     load_splits,
+    make_pipeline,
     save_params,
 )
 
@@ -75,7 +76,7 @@ def main(argv=None) -> int:
         if cfg.dataset.uses_flame_params else None
     )
     frontend = AudioFrontend(cfg, args.audio_params, seed=args.seed)
-    ld = LatentDiffusion.create(cfg)
+    ld = make_pipeline(cfg)
 
     batch0 = _prepare(next(_batches(splits.train, cfg, args, 0)), cfg, flame,
                       frontend)

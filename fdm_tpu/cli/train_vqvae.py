@@ -25,6 +25,7 @@ from fdm_tpu.cli.common import (
     decode_motion,
     ensure_dir,
     load_splits,
+    make_pipeline,
     save_params,
 )
 
@@ -68,7 +69,7 @@ def main(argv=None) -> int:
         FlameDecoder(cfg, args.flame_model)
         if cfg.dataset.uses_flame_params else None
     )
-    ld = LatentDiffusion.create(cfg)
+    ld = make_pipeline(cfg)
 
     # init params from one representative batch
     first = _batches(splits.train, cfg, args, epoch_seed=0)

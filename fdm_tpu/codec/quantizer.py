@@ -32,17 +32,6 @@ class QuantizerOutput(NamedTuple):
     global_indices: jnp.ndarray  # (B, L) int32 into the full codebook
 
 
-def _partition_bias(
-    n_embed: int, partitions: int, one_hot: jnp.ndarray
-) -> jnp.ndarray:
-    """(B, n_embed) additive bias: 0 on the selected emotion slice, +inf off it."""
-    slice_size = n_embed // partitions
-    entry_partition = jnp.arange(n_embed) // slice_size          # (N,)
-    selected = jnp.argmax(one_hot, axis=-1)                      # (B,)
-    off_slice = entry_partition[None, :] != selected[:, None]    # (B, N)
-    return jnp.where(off_slice, jnp.inf, 0.0).astype(jnp.float32)
-
-
 def quantize(
     codebook: jnp.ndarray,
     z: jnp.ndarray,
@@ -59,21 +48,30 @@ def quantize(
     """
     B, L, D = z.shape
     N = codebook.shape[0]
-    # ||z - e||^2 = ||z||^2 + ||e||^2 - 2 z.e  — one big (B*L, N) GEMM
-    z2 = jnp.sum(z * z, axis=-1, keepdims=True)                  # (B, L, 1)
-    e2 = jnp.sum(codebook * codebook, axis=-1)                   # (N,)
-    ze = jnp.einsum("bld,nd->bln", z, codebook)                  # (B, L, N)
-    d = z2 + e2[None, None, :] - 2.0 * ze
+    # nearest-neighbor search: fused Pallas kernel on TPU (distances never
+    # leave VMEM), identical-math XLA GEMM+argmin elsewhere. The argmin
+    # carries no gradient, so routing only the indices through the kernel is
+    # exactly equivalent to the reference's materialized distance matrix.
+    from fdm_tpu.kernels.quantize import nearest_code
 
+    # indices are int (no tangent); stop_gradient keeps AD from tracing into
+    # the search kernel at all
+    z_sg = jax.lax.stop_gradient(z)
+    cb_sg = jax.lax.stop_gradient(codebook)
     if partitions:
         if one_hot is None:
             raise ValueError("partitioned codebook requires an emotion one_hot")
-        d = d + _partition_bias(N, partitions, one_hot)[:, None, :]
+        selected = jnp.argmax(one_hot, axis=-1).astype(jnp.int32)    # (B,)
+        part_ids = jnp.repeat(selected, L)                           # (B*L,)
+        global_indices = nearest_code(
+            z_sg.reshape(B * L, D), cb_sg, part_ids, partitions
+        ).reshape(B, L)
         slice_size = N // partitions
-        global_indices = jnp.argmin(d, axis=-1).astype(jnp.int32)
         indices = global_indices % slice_size
     else:
-        global_indices = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        global_indices = nearest_code(
+            z_sg.reshape(B * L, D), cb_sg
+        ).reshape(B, L)
         indices = global_indices
 
     z_q = codebook[global_indices]                               # (B, L, D)

@@ -52,7 +52,7 @@ def _attn_kernel(slope_ref, q_ref, k_ref, v_ref, out_ref, *, period: int,
     j = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
     # bias(i, j) = -slope * floor((i - j) / period) on the causal span
     bucket = jax.lax.div(i - j, jnp.int32(period))
-    bias = -slope_ref[0] * bucket.astype(jnp.float32)
+    bias = -slope_ref[pl.program_id(0)] * bucket.astype(jnp.float32)
     allowed = (j <= i) & (j < t_valid)
     logits = jnp.where(allowed, logits + bias, -jnp.inf)
 
@@ -81,9 +81,9 @@ def alibi_attention_pallas(
     qp = jnp.pad(q, pad).reshape(B * H, Tp, hdp)
     kp = jnp.pad(k, pad).reshape(B * H, Tp, hdp)
     vp = jnp.pad(v, pad).reshape(B * H, Tp, hdp)
-    slope_arr = jnp.tile(
-        jnp.asarray(slopes, jnp.float32).reshape(H, 1), (B, 1)
-    )  # (B*H, 1)
+    # full (B*H,) vector in SMEM (blocked SMEM specs must tile to (8, 128));
+    # the kernel picks its row by program_id
+    slope_arr = jnp.tile(jnp.asarray(slopes, jnp.float32), B)  # (B*H,)
 
     kernel = functools.partial(
         _attn_kernel, period=period, t_valid=T, scale=hd**-0.5
@@ -95,7 +95,7 @@ def alibi_attention_pallas(
         kernel,
         grid=(B * H,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             bh_spec, bh_spec, bh_spec,
         ],
         out_specs=bh_spec,

@@ -172,3 +172,39 @@ def test_preprocess_vocaset(workdir):
     assert seq.shape == (5, 45)
     np.testing.assert_allclose(seq, verts[:5].reshape(5, 45))
     assert os.path.exists("wavs/subjA_sentence01.wav")
+
+
+def test_convert_weights_vqvae(workdir):
+    """Reference-container torch checkpoint -> msgpack via the CLI, loadable
+    by sample_vqvae."""
+    import argparse
+
+    import torch
+
+    from fdm_tpu.cli import convert_weights, sample_vqvae
+    from reference_oracle import import_reference_module
+
+    # tiny BIWI-style reference model matching the --tiny biwi preset
+    ref_mod = import_reference_module("models.vq_vae")
+    torch.manual_seed(0)
+    ns = argparse.Namespace(
+        n_embed=16, zquant_dim=8, in_dim=30, hidden_size=32, neg=0.2,
+        quant_factor=0, INaffine=False, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=48, face_quan_num=4,
+    )
+    ref = ref_mod.VQAutoEncoder(ns).eval()
+    # the reference's .mpt container layout (train/train_vocaset_vqvae.py)
+    torch.save({"epoch": 1, "model": ref.state_dict(), "opt": {}},
+               "ref_ckpt.mpt")
+
+    assert convert_weights.main(
+        ["--kind", "vqvae", "--dataset", "biwi", "--tiny", "--checkpoint",
+         "ref_ckpt.mpt", "--output", "conv/vq.msgpack"]
+    ) == 0
+
+    assert sample_vqvae.main(
+        ["--dataset", "biwi", "--synthetic", "--tiny",
+         "--params", "conv/vq.msgpack", "--output_dir", "conv_out"]
+    ) == 0
+    files = [f for f in os.listdir("conv_out") if f.endswith(".npy")]
+    assert files and np.isfinite(np.load(os.path.join("conv_out", files[0]))).all()

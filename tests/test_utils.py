@@ -1,0 +1,54 @@
+"""Utility modules: param serialization round-trip, step timer, logging."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdm_tpu.utils.logging import MetricLogger
+from fdm_tpu.utils.profiling import StepTimer
+from fdm_tpu.utils.serialization import load_params, save_params
+
+
+def test_params_roundtrip(tmp_path):
+    params = {
+        "params": {
+            "dense": {"kernel": np.random.randn(4, 3).astype(np.float32),
+                      "bias": np.zeros(3, np.float32)},
+            "codebook": np.random.randn(16, 8).astype(np.float32),
+        }
+    }
+    path = str(tmp_path / "p.msgpack")
+    save_params(path, params)
+    restored = load_params(path)
+    # leaves come back as device arrays (indexable by tracers)
+    leaf = restored["params"]["codebook"]
+    assert isinstance(leaf, jax.Array)
+    np.testing.assert_array_equal(
+        np.asarray(leaf), params["params"]["codebook"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["dense"]["kernel"]),
+        params["params"]["dense"]["kernel"],
+    )
+
+
+def test_step_timer_discards_warmup():
+    timer = StepTimer(warmup=2)
+    f = jax.jit(lambda x: x * 2)
+    timer.time_fn(f, jnp.ones(8), repeats=3)
+    s = timer.summary()
+    assert s["count"] == 3
+    assert s["min_s"] <= s["median_s"] <= s["max_s"]
+
+
+def test_metric_logger_jsonl(tmp_path):
+    logger = MetricLogger(str(tmp_path), "run", tensorboard=False)
+    logger.log_step(1, {"loss": 0.5})
+    logger.log_epoch(1, {"loss": 0.4, "steps": 10})
+    logger.close()
+    lines = [json.loads(l) for l in open(logger.path)]
+    assert lines[0]["kind"] == "step" and lines[0]["loss"] == 0.5
+    assert lines[1]["kind"] == "epoch" and lines[1]["steps"] == 10

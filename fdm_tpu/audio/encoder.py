@@ -68,6 +68,26 @@ def get_encoder_config(name: str) -> AudioEncoderConfig:
     raise ValueError(f"unknown audio encoder {name!r}")
 
 
+def encoder_config_for(fdm_cfg) -> AudioEncoderConfig:
+    """Encoder config matching an FDMConfig: the named full-size encoder
+    when its hidden size agrees with fdm.audio_dim, else a small 2-layer
+    stand-in of the right width (tiny/smoke configs)."""
+    try:
+        cfg = get_encoder_config(fdm_cfg.audio_encoder)
+        if cfg.hidden_size == fdm_cfg.audio_dim:
+            return cfg
+    except ValueError:
+        pass
+    return AudioEncoderConfig(
+        hidden_size=fdm_cfg.audio_dim, num_layers=2,
+        num_heads=max(1, fdm_cfg.audio_dim // 8),
+        intermediate_size=2 * fdm_cfg.audio_dim,
+        conv_dim=(fdm_cfg.audio_dim,) * 3,
+        conv_kernel=(10, 8, 4), conv_stride=(5, 8, 4),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=1,
+    )
+
+
 class ConvFeatureExtractor(nn.Module):
     """Raw waveform (B, S) -> (B, N, conv_dim[-1]) at ~50 Hz."""
 

@@ -104,7 +104,7 @@ def build_config(args) -> PipelineConfig:
     return get_config(args.dataset, **overrides)
 
 
-def make_pipeline(cfg: PipelineConfig):
+def make_pipeline(cfg: PipelineConfig, with_audio_encoder: bool = False):
     """LatentDiffusion honoring cfg.train.compute_dtype (bf16 for speed,
     fp32 for parity evals — SURVEY.md §7.3 float-semantics note) and
     cfg.train.use_pallas (fused-attention denoiser)."""
@@ -116,6 +116,7 @@ def make_pipeline(cfg: PipelineConfig):
     return LatentDiffusion.create(
         cfg, dtype=dtype,
         self_attn_mode="fused" if cfg.train.use_pallas else "table",
+        with_audio_encoder=with_audio_encoder,
     )
 
 
@@ -222,23 +223,9 @@ class AudioFrontend:
     def __init__(self, cfg: PipelineConfig, params_path: Optional[str] = None,
                  seed: int = 0):
         from fdm_tpu.audio import AudioEncoder
-        from fdm_tpu.audio.encoder import AudioEncoderConfig, get_encoder_config
+        from fdm_tpu.audio.encoder import encoder_config_for
 
-        fdm = cfg.fdm
-        try:
-            enc_cfg = get_encoder_config(fdm.audio_encoder)
-            if enc_cfg.hidden_size != fdm.audio_dim:
-                raise ValueError
-        except ValueError:
-            enc_cfg = AudioEncoderConfig(
-                hidden_size=fdm.audio_dim, num_layers=2,
-                num_heads=max(1, fdm.audio_dim // 8),
-                intermediate_size=2 * fdm.audio_dim,
-                conv_dim=(fdm.audio_dim,) * 3,
-                conv_kernel=(10, 8, 4), conv_stride=(5, 8, 4),
-                num_conv_pos_embeddings=16,
-                num_conv_pos_embedding_groups=1,
-            )
+        enc_cfg = encoder_config_for(cfg.fdm)
         self.cfg = cfg
         self.encoder = AudioEncoder(enc_cfg)
         if params_path:

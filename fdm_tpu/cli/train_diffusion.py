@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="EMA of params in the jitted step (0 = off)")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="micro-batches per optimizer update")
+    parser.add_argument("--train_audio_encoder", action="store_true",
+                        help="fine-tune the audio encoder transformer jointly "
+                             "with the FDM (conv extractor frozen) — the "
+                             "reference's stage-2 regime (quirk Q10)")
     return parser
 
 
@@ -59,8 +63,9 @@ def main(argv=None) -> int:
     from fdm_tpu.data import batch_iterator
     from fdm_tpu.models import LatentDiffusion
     from fdm_tpu.train import (
-        Trainer, accumulating_optimizer, create_train_state, default_optimizer, make_stage2_step,
-        replicate_state,
+        Trainer, accumulating_optimizer, create_train_state,
+        default_optimizer, frozen_aware_optimizer, make_stage2_e2e_step,
+        make_stage2_step, replicate_state,
     )
     from fdm_tpu.utils.checkpoint import Checkpointer
     from fdm_tpu.utils.logging import MetricLogger
@@ -76,10 +81,10 @@ def main(argv=None) -> int:
         if cfg.dataset.uses_flame_params else None
     )
     frontend = AudioFrontend(cfg, args.audio_params, seed=args.seed)
-    ld = make_pipeline(cfg)
+    ld = make_pipeline(cfg, with_audio_encoder=args.train_audio_encoder)
 
     batch0 = _prepare(next(_batches(splits.train, cfg, args, 0)), cfg, flame,
-                      frontend)
+                      frontend, keep_audio=args.train_audio_encoder)
     key = jax.random.PRNGKey(cfg.train.seed)
     if args.stage1:
         vq_params = load_params(args.stage1)
@@ -91,24 +96,41 @@ def main(argv=None) -> int:
         )
     B, T = batch0["motion"].shape[:2]
     L = T * cfg.fdm.tokens_per_frame
+    audio_hidden0 = (
+        np.asarray(frontend(batch0["audio"], T))
+        if args.train_audio_encoder else batch0["audio_hidden"]
+    )
     fdm_params = ld.fdm.init(
         jax.random.PRNGKey(cfg.train.seed + 1),
         jnp.zeros((B, L, cfg.vqvae.zquant_dim)),
         jnp.zeros((B,), jnp.int32),
-        batch0["audio_hidden"],
+        audio_hidden0,
         batch0["style_one_hot"],
         batch0.get("emotion_one_hot"),
     )
 
     mesh = choose_mesh(cfg.train.batch_size)
-    tx = accumulating_optimizer(
+    base_tx = accumulating_optimizer(
         default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay),
         args.grad_accum,
     )
-    state = create_train_state(fdm_params, tx, ema_decay=args.ema_decay)
-    if mesh is not None:
-        state = replicate_state(state, mesh)
-    step = make_stage2_step(ld, tx, vq_params, mesh=mesh, ema_decay=args.ema_decay)
+    if args.train_audio_encoder:
+        train_params = {"fdm": fdm_params, "audio": frontend.params}
+        tx = frozen_aware_optimizer(base_tx, train_params)
+        state = create_train_state(train_params, tx, ema_decay=args.ema_decay)
+        if mesh is not None:
+            state = replicate_state(state, mesh)
+        step = make_stage2_e2e_step(
+            ld, tx, vq_params, mesh=mesh, ema_decay=args.ema_decay
+        )
+    else:
+        tx = base_tx
+        state = create_train_state(fdm_params, tx, ema_decay=args.ema_decay)
+        if mesh is not None:
+            state = replicate_state(state, mesh)
+        step = make_stage2_step(
+            ld, tx, vq_params, mesh=mesh, ema_decay=args.ema_decay
+        )
 
     out_dir = ensure_dir(args.output_dir)
     ckpt = Checkpointer(out_dir + "/orbax")
@@ -124,7 +146,8 @@ def main(argv=None) -> int:
 
     for epoch in range(1, epochs + 1):
         data = (
-            _prepare(b, cfg, flame, frontend)
+            _prepare(b, cfg, flame, frontend,
+                     keep_audio=args.train_audio_encoder)
             for b in _batches(splits.train, cfg, args, epoch)
         )
         means = trainer.run_epoch(data, epoch)
@@ -133,8 +156,14 @@ def main(argv=None) -> int:
               f"recon={means.get('recon_loss', float('nan')):.5f} "
               f"steps/s={means['steps_per_sec']:.2f}")
 
-    save_params(f"{out_dir}/{cfg.dataset.name}_fdm_params.msgpack",
-                trainer.state.params)
+    if args.train_audio_encoder:
+        save_params(f"{out_dir}/{cfg.dataset.name}_fdm_params.msgpack",
+                    trainer.state.params["fdm"])
+        save_params(f"{out_dir}/{cfg.dataset.name}_audio_params.msgpack",
+                    trainer.state.params["audio"])
+    else:
+        save_params(f"{out_dir}/{cfg.dataset.name}_fdm_params.msgpack",
+                    trainer.state.params)
     logger.close()
     ckpt.close()
     return 0
@@ -151,8 +180,12 @@ def _batches(records, cfg, args, epoch_seed: int):
     )
 
 
-def _prepare(batch, cfg, flame, frontend) -> dict:
+def _prepare(batch, cfg, flame, frontend, keep_audio: bool = False) -> dict:
     batch = decode_motion(cfg, batch, flame)
+    if keep_audio:
+        # raw waveform stays in the batch; the e2e step encodes it on-device
+        # (the frontend's params live inside the donated train state by then)
+        return batch
     T = batch["motion"].shape[1]
     batch["audio_hidden"] = np.asarray(frontend(batch.pop("audio"), T))
     return batch

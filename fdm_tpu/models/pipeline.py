@@ -41,18 +41,28 @@ from fdm_tpu.models.fdm import FDM
 @dataclasses.dataclass(frozen=True)
 class LatentDiffusion:
     """Stateless bundle of modules + schedule. Parameters travel separately
-    (vq_params, fdm_params) so the train step can donate/freeze them
-    independently."""
+    (vq_params, fdm_params[, audio params]) so the train step can
+    donate/freeze them independently."""
 
     config: PipelineConfig
     schedule: DiffusionSchedule
     vqvae: VQAutoEncoder
     fdm: FDM
+    audio_encoder: object = None   # fdm_tpu.audio.AudioEncoder, optional
 
     @classmethod
     def create(cls, config: PipelineConfig, dtype=jnp.float32,
                cross_mode: str = "fast",
-               self_attn_mode: str = "table") -> "LatentDiffusion":
+               self_attn_mode: str = "table",
+               with_audio_encoder: bool = False) -> "LatentDiffusion":
+        audio_encoder = None
+        if with_audio_encoder:
+            from fdm_tpu.audio import AudioEncoder
+            from fdm_tpu.audio.encoder import encoder_config_for
+
+            audio_encoder = AudioEncoder(
+                encoder_config_for(config.fdm), dtype=dtype
+            )
         return cls(
             config=config,
             schedule=make_schedule(
@@ -61,7 +71,33 @@ class LatentDiffusion:
             vqvae=VQAutoEncoder(config.vqvae, dtype=dtype),
             fdm=FDM(config.fdm, dtype=dtype, cross_mode=cross_mode,
                     self_attn_mode=self_attn_mode),
+            audio_encoder=audio_encoder,
         )
+
+    def encode_audio(self, audio_params, wav: jnp.ndarray,
+                     num_frames: int) -> jnp.ndarray:
+        """Raw waveform (B, S) -> frame-aligned hidden states
+        (B, num_frames, audio_dim*pair) through the in-pipeline encoder —
+        jittable, so it can live INSIDE the train step when the encoder is
+        trained jointly (reference quirk Q10: stage 2 fine-tunes the
+        HuBERT/wav2vec2 transformer; only the conv extractor is frozen,
+        reference models/fdm_vqvae_mead.py:19)."""
+        from fdm_tpu.audio import linear_interpolate_frames, pair_frames
+
+        if self.audio_encoder is None:
+            raise ValueError("pipeline built without with_audio_encoder=True")
+        fdm = self.config.fdm
+        hidden = self.audio_encoder.apply(audio_params, wav, even_trim=False)
+        if fdm.audio_interp_fps:
+            hidden = linear_interpolate_frames(
+                hidden, 50, fdm.audio_interp_fps, output_len=num_frames
+            )
+        elif fdm.audio_pair_factor > 1:
+            hidden = pair_frames(hidden, fdm.audio_pair_factor)
+        T = hidden.shape[1]
+        if T >= num_frames:
+            return hidden[:, :num_frames]
+        return jnp.pad(hidden, ((0, 0), (0, num_frames - T), (0, 0)))
 
     # ---------------- stage 1 training ----------------
 
@@ -188,6 +224,31 @@ class LatentDiffusion:
             "recon_loss": recon_loss,
             "loss": total,
         }
+
+    def stage2_train_loss_e2e(
+        self,
+        vq_params,
+        params,                        # {"fdm": ..., "audio": ...}
+        key: jax.Array,
+        motion: jnp.ndarray,           # (B, T, in_dim)
+        template: jnp.ndarray,
+        audio_wav: jnp.ndarray,        # (B, S) raw 16 kHz waveform
+        style_one_hot: jnp.ndarray,
+        emotion_one_hot: Optional[jnp.ndarray] = None,
+        frame_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, dict]:
+        """Stage-2 loss with the audio encoder INSIDE the step so its
+        transformer trains jointly with the FDM — the reference's actual
+        stage-2 regime (quirk Q10; reference train/train_diffusion_mead.py
+        optimizes diffusion.parameters() which includes HuBERT). Freeze the
+        conv extractor by masking its optimizer updates
+        (fdm_tpu.train.freeze_audio_conv_mask)."""
+        T = motion.shape[1]
+        audio_hidden = self.encode_audio(params["audio"], audio_wav, T)
+        return self.stage2_train_loss(
+            vq_params, params["fdm"], key, motion, template, audio_hidden,
+            style_one_hot, emotion_one_hot, frame_mask,
+        )
 
     # ---------------- inference ----------------
 

@@ -148,6 +148,86 @@ def make_stage2_step(
     return bound_step
 
 
+def make_stage2_e2e_step(
+    ld: LatentDiffusion,
+    tx: optax.GradientTransformation,
+    vq_params,
+    mesh=None,
+    donate: bool = True,
+    ema_decay: float = 0.0,
+):
+    """Stage-2 step with the audio encoder trained jointly (reference quirk
+    Q10). state.params = {"fdm": ..., "audio": ...}; batch carries raw
+    "audio" (B, S) instead of "audio_hidden". Combine with
+    `freeze_audio_conv_mask` + optax.masked to freeze the conv extractor."""
+
+    def step(state: TrainState, batch, key, vq_params) -> tuple:
+        def loss_fn(params):
+            return ld.stage2_train_loss_e2e(
+                vq_params,
+                params,
+                key,
+                batch["motion"],
+                batch["template"],
+                batch["audio"],
+                batch["style_one_hot"],
+                batch.get("emotion_one_hot"),
+                batch.get("frame_mask"),
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = (
+            _ema_update(state.ema_params, params, ema_decay)
+            if state.ema_params is not None else None
+        )
+        return TrainState(state.step + 1, params, opt_state, ema), metrics
+
+    compiled = _compile_step(step, mesh, donate)
+
+    def bound_step(state, batch, key):
+        return compiled(state, batch, key, vq_params)
+
+    return bound_step
+
+
+def freeze_audio_conv_mask(params) -> Any:
+    """Boolean mask pytree for optax.masked / multi_transform: False (frozen)
+    on the audio conv feature extractor, True elsewhere — the reference
+    freezes exactly that subtree (models/fdm_vqvae_mead.py:19,
+    feature_extractor._freeze_parameters())."""
+
+    def mask_tree(tree, frozen):
+        return jax.tree_util.tree_map(lambda _: not frozen, tree)
+
+    out = {}
+    for top, sub in params.items():
+        if top != "audio":
+            out[top] = mask_tree(sub, frozen=False)
+            continue
+        audio = {}
+        for collection, inner in sub.items():   # e.g. "params"
+            audio[collection] = {
+                name: mask_tree(v, frozen=(name == "feature_extractor"))
+                for name, v in inner.items()
+            }
+        out[top] = audio
+    return out
+
+
+def frozen_aware_optimizer(
+    tx: optax.GradientTransformation, params
+) -> optax.GradientTransformation:
+    """tx on trainable leaves, zero updates on the frozen audio conv."""
+    return optax.multi_transform(
+        {True: tx, False: optax.set_to_zero()},
+        freeze_audio_conv_mask(params),
+    )
+
+
 def accumulating_optimizer(
     tx: optax.GradientTransformation, every: int
 ) -> optax.GradientTransformation:

@@ -159,3 +159,77 @@ def test_ema_and_grad_accumulation():
     assert not np.allclose(np.asarray(e2), np.asarray(p2))
     expected = 0.9 * (0.9 * p0 + 0.1 * p0) + 0.1 * p2
     np.testing.assert_allclose(np.asarray(e2), np.asarray(expected), rtol=1e-5)
+
+
+def test_stage2_e2e_trains_audio_encoder_with_frozen_conv():
+    """Joint FDM+audio-encoder training (reference quirk Q10): the encoder
+    transformer must receive updates while the conv feature extractor stays
+    frozen."""
+    from fdm_tpu.models import LatentDiffusion
+    from fdm_tpu.train import frozen_aware_optimizer, make_stage2_e2e_step
+
+    cfg = tiny_pipeline()
+    ld = LatentDiffusion.create(cfg, with_audio_encoder=True)
+    B, T = 2, 8
+    sr_samples = int(T / 25 * 16000)
+    key = jax.random.PRNGKey(0)
+    motion = jax.random.normal(key, (B, T, cfg.vqvae.in_dim)) * 0.1
+    template = jnp.zeros((B, 1, cfg.vqvae.in_dim))
+    wav = jax.random.normal(jax.random.PRNGKey(1), (B, sr_samples)) * 0.1
+    style = jnp.eye(cfg.fdm.style_classes)[:B]
+    emo = jnp.eye(7)[:B]
+
+    vq_params = ld.vqvae.init(jax.random.PRNGKey(2), motion, template, emo)
+    audio_params = ld.audio_encoder.init(jax.random.PRNGKey(3), wav)
+    hidden = ld.encode_audio(audio_params, wav, T)
+    assert hidden.shape[:2] == (B, T)
+    L = T * cfg.fdm.tokens_per_frame
+    C = cfg.fdm.feature_dim // cfg.fdm.tokens_per_frame
+    fdm_params = ld.fdm.init(
+        jax.random.PRNGKey(4), jnp.zeros((B, L, C)),
+        jnp.zeros((B,), jnp.int32), hidden, style, emo,
+    )
+
+    import optax
+
+    params = {"fdm": fdm_params, "audio": audio_params}
+    tx = frozen_aware_optimizer(optax.sgd(0.05), params)
+    state = create_train_state(params, tx)
+    step = make_stage2_e2e_step(ld, tx, vq_params, donate=False)
+    batch = {
+        "motion": motion, "template": template, "audio": wav,
+        "style_one_hot": style, "emotion_one_hot": emo,
+    }
+    # step 1: the FDM's zero-initialized output layer (reference parity)
+    # blocks all upstream gradients, so only that layer moves; step 2 then
+    # propagates into the audio encoder
+    mid_state, metrics = step(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+    new_state, metrics = step(mid_state, batch, jax.random.PRNGKey(6))
+    assert np.isfinite(float(metrics["loss"]))
+
+    old_audio = state.params["audio"]["params"]
+    new_audio = new_state.params["audio"]["params"]
+    # conv extractor frozen
+    for a, b in zip(
+        jax.tree_util.tree_leaves(old_audio["feature_extractor"]),
+        jax.tree_util.tree_leaves(new_audio["feature_extractor"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # encoder transformer trained
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(old_audio["layer_0"]),
+            jax.tree_util.tree_leaves(new_audio["layer_0"]),
+        )
+    )
+    assert changed, "audio transformer received no updates"
+    # FDM trained too
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params["fdm"]),
+            jax.tree_util.tree_leaves(new_state.params["fdm"]),
+        )
+    )

@@ -103,8 +103,8 @@ def load_mead(
                 audio = read_wav(wav_path)
             elif os.path.exists(audio_path):
                 raise ValueError(
-                    f"{audio_path}: decode m4a to wav first "
-                    "(python -m fdm_tpu.cli.preprocess mead ...)"
+                    f"{audio_path}: decode m4a to 16 kHz wav first "
+                    "(e.g. ffmpeg -i 001.m4a -ar 16000 -ac 1 001.wav)"
                 )
             else:
                 continue

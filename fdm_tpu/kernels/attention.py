@@ -110,6 +110,110 @@ def alibi_attention_pallas(
     return out.reshape(B, H, Tp, hdp)[:, :, :T, :hd]
 
 
+def _flash_kernel(slope_ref, q_ref, k_ref, v_ref, out_ref, *, period: int,
+                  t_valid: int, scale: float, block_k: int):
+    """Streaming (flash) variant: one q block per program, online softmax
+    over k blocks. K/V stay whole in VMEM (Tp*hd floats); the score tile is
+    (block_q, block_k) — sequence length is bounded by K/V VMEM (~8k frames
+    at hd=128), not by a (T, T) score tile."""
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale           # (BQ, hd)
+    BQ, hd = q.shape
+    slope = slope_ref[bh]
+
+    q_rows = qi * BQ + jax.lax.broadcasted_iota(
+        jnp.int32, (BQ, block_k), 0
+    )
+    # causal upper bound: the last k block any row of this q block can see
+    num_kb = jax.lax.div(qi * BQ + BQ - 1, block_k) + 1
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # (BQ, BK)
+        k_cols = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (BQ, block_k), 1
+        )
+        bucket = jax.lax.div(q_rows - k_cols, jnp.int32(period))
+        bias = -slope * bucket.astype(jnp.float32)
+        allowed = (k_cols <= q_rows) & (k_cols < t_valid)
+        s = jnp.where(allowed, s + bias, -jnp.inf)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((BQ, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((BQ, 1), jnp.float32)
+    acc0 = jnp.zeros((BQ, hd), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
+def alibi_attention_flash(
+    q: jnp.ndarray,                 # (B, H, T, hd)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    period: int,
+    slopes: Optional[np.ndarray] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Long-sequence causal-ALiBi attention (SURVEY.md §5.7: blockwise/flash
+    attention is the idiomatic TPU answer to >600-frame generation, not
+    multi-device sequence parallelism)."""
+    B, H, T, hd = q.shape
+    if slopes is None:
+        slopes = alibi_slopes(H)
+    blk = max(block_q, block_k)
+    Tp = _round_up(T, blk)
+    hdp = _round_up(hd, _LANE)
+    pad = ((0, 0), (0, 0), (0, Tp - T), (0, hdp - hd))
+    qp = jnp.pad(q, pad).reshape(B * H, Tp, hdp)
+    kp = jnp.pad(k, pad).reshape(B * H, Tp, hdp)
+    vp = jnp.pad(v, pad).reshape(B * H, Tp, hdp)
+    slope_arr = jnp.tile(jnp.asarray(slopes, jnp.float32), B)
+
+    kernel = functools.partial(
+        _flash_kernel, period=period, t_valid=T, scale=hd**-0.5,
+        block_k=block_k,
+    )
+    q_spec = pl.BlockSpec(
+        (1, block_q, hdp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, Tp, hdp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H, Tp // block_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            q_spec, kv_spec, kv_spec,
+        ],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, Tp, hdp), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * Tp * Tp * hdp,
+            bytes_accessed=4 * B * H * Tp * hdp * 4,
+            transcendentals=B * H * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(slope_arr, qp, kp, vp)
+    return out.reshape(B, H, Tp, hdp)[:, :, :T, :hd]
+
+
 def alibi_attention_xla(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, period: int,
     slopes: Optional[np.ndarray] = None,

@@ -148,3 +148,31 @@ class TestFDMFusedAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
         )
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("T,bq,bk", [(100, 32, 32), (300, 64, 128),
+                                         (512, 128, 128)])
+    def test_flash_matches_xla(self, T, bq, bk):
+        from fdm_tpu.kernels.attention import alibi_attention_flash
+
+        B, H, hd = 1, 4, 16
+        q, k, v = (_rand(i + 11, (B, H, T, hd)) for i in range(3))
+        got = alibi_attention_flash(
+            q, k, v, 30, block_q=bq, block_k=bk, interpret=True
+        )
+        want = alibi_attention_xla(q, k, v, 30)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_flash_matches_single_tile_kernel(self):
+        from fdm_tpu.kernels.attention import alibi_attention_flash
+
+        B, H, T, hd = 2, 2, 130, 8
+        q, k, v = (_rand(i + 21, (B, H, T, hd)) for i in range(3))
+        flash = alibi_attention_flash(
+            q, k, v, 25, block_q=64, block_k=64, interpret=True
+        )
+        tile = alibi_attention_pallas(q, k, v, 25, interpret=True)
+        np.testing.assert_allclose(np.asarray(flash), np.asarray(tile),
+                                   atol=1e-5, rtol=1e-5)

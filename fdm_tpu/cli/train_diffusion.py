@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="EMA of params in the jitted step (0 = off)")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="micro-batches per optimizer update")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of early steps")
     parser.add_argument("--train_audio_encoder", action="store_true",
                         help="fine-tune the audio encoder transformer jointly "
                              "with the FDM (conv extractor frozen) — the "
@@ -141,6 +143,7 @@ def main(argv=None) -> int:
     trainer = Trainer(
         step, state, mesh=mesh, logger=logger, checkpointer=ckpt,
         checkpoint_every=cfg.train.checkpoint_every,
+        profile_dir=args.profile,
         rng=jax.random.PRNGKey(cfg.train.seed + 2),
     )
 

@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="EMA of params in the jitted step (0 = off)")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="micro-batches per optimizer update")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of early steps")
     return parser
 
 
@@ -98,6 +100,7 @@ def main(argv=None) -> int:
     trainer = Trainer(
         step, state, mesh=mesh, logger=logger, checkpointer=ckpt,
         checkpoint_every=cfg.train.checkpoint_every,
+        profile_dir=args.profile,
         rng=jax.random.PRNGKey(cfg.train.seed),
     )
 

@@ -268,6 +268,8 @@ class Trainer:
         checkpointer=None,
         checkpoint_every: int = 5,
         rng: Optional[jax.Array] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (2, 5),
     ):
         self.step_fn = step_fn
         self.state = state
@@ -277,11 +279,17 @@ class Trainer:
         self.checkpoint_every = checkpoint_every
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.needs_rng = None  # inferred on first batch
+        # jax.profiler trace of steps [start, stop) in epoch 1 (step 1 is
+        # the compile; SURVEY.md §5.1 — the reference has no tracing at all)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        self._profiling = False
 
     def run_epoch(self, data_iter, epoch: int) -> dict:
         totals, count = {}, 0
         t0 = time.perf_counter()
         for batch in data_iter:
+            self._maybe_profile(epoch, count)
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             if self.needs_rng is None:
@@ -305,12 +313,28 @@ class Trainer:
         means["steps_per_sec"] = count / elapsed if elapsed > 0 else 0.0
         if self.logger is not None:
             self.logger.log_epoch(epoch, means)
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
         if (
             self.checkpointer is not None
             and epoch % self.checkpoint_every == 0
         ):
             self.checkpointer.save(int(self.state.step), self.state)
         return means
+
+    def _maybe_profile(self, epoch: int, step_in_epoch: int):
+        if self.profile_dir is None or epoch != 1:
+            return
+        start, stop = self.profile_steps
+        if step_in_epoch == start and not self._profiling:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+        elif step_in_epoch == stop and self._profiling:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
+            self._profiling = False
 
 
 def _step_takes_rng(step_fn) -> bool:

@@ -108,14 +108,14 @@ def main(argv=None) -> int:
         vq_params = load_params(args.stage1)
     else:
         motion0 = jnp.zeros((1, T_pad, cfg.vqvae.in_dim))
-        vq_params = ld.vqvae.init(
+        vq_params = jax.jit(ld.vqvae.init)(
             key, motion0, jnp.asarray(template), emotion
         )
     if args.stage2:
         fdm_params = load_params(args.stage2)
     else:
         L = T_pad * cfg.fdm.tokens_per_frame
-        fdm_params = ld.fdm.init(
+        fdm_params = jax.jit(ld.fdm.init)(
             jax.random.PRNGKey(args.seed + 1),
             jnp.zeros((1, L, cfg.vqvae.zquant_dim)),
             jnp.zeros((1,), jnp.int32), audio_hidden, style, emotion,

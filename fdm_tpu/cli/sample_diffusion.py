@@ -145,7 +145,7 @@ def _init_params(ld, cfg, args, records, flame, frontend):
     if args.stage1:
         vq_params = load_params(args.stage1)
     else:
-        vq_params = ld.vqvae.init(
+        vq_params = jax.jit(ld.vqvae.init)(
             jax.random.PRNGKey(args.seed), batch0["motion"],
             batch0["template"], batch0.get("emotion_one_hot"),
         )
@@ -154,7 +154,7 @@ def _init_params(ld, cfg, args, records, flame, frontend):
     else:
         B, T = batch0["motion"].shape[:2]
         L = T * cfg.fdm.tokens_per_frame
-        fdm_params = ld.fdm.init(
+        fdm_params = jax.jit(ld.fdm.init)(
             jax.random.PRNGKey(args.seed + 1),
             jnp.zeros((B, L, cfg.vqvae.zquant_dim)),
             jnp.zeros((B,), jnp.int32),

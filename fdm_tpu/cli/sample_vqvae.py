@@ -67,7 +67,7 @@ def main(argv=None) -> int:
     if args.params:
         vq_params = load_params(args.params)
     else:
-        vq_params = ld.vqvae.init(
+        vq_params = jax.jit(ld.vqvae.init)(
             jax.random.PRNGKey(args.seed), batch0["motion"],
             batch0["template"], batch0.get("emotion_one_hot"),
         )

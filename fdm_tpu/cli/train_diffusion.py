@@ -92,7 +92,7 @@ def main(argv=None) -> int:
         vq_params = load_params(args.stage1)
         print(f"loaded frozen stage-1 params from {args.stage1}")
     else:
-        vq_params = ld.vqvae.init(
+        vq_params = jax.jit(ld.vqvae.init)(
             key, batch0["motion"], batch0["template"],
             batch0.get("emotion_one_hot"),
         )
@@ -102,7 +102,7 @@ def main(argv=None) -> int:
         np.asarray(frontend(batch0["audio"], T))
         if args.train_audio_encoder else batch0["audio_hidden"]
     )
-    fdm_params = ld.fdm.init(
+    fdm_params = jax.jit(ld.fdm.init)(
         jax.random.PRNGKey(cfg.train.seed + 1),
         jnp.zeros((B, L, cfg.vqvae.zquant_dim)),
         jnp.zeros((B,), jnp.int32),

@@ -76,7 +76,7 @@ def main(argv=None) -> int:
     # init params from one representative batch
     first = _batches(splits.train, cfg, args, epoch_seed=0)
     batch0 = decode_motion(cfg, next(first), flame)
-    vq_params = ld.vqvae.init(
+    vq_params = jax.jit(ld.vqvae.init)(
         jax.random.PRNGKey(cfg.train.seed),
         batch0["motion"], batch0["template"], batch0.get("emotion_one_hot"),
     )

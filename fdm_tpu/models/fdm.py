@@ -196,6 +196,9 @@ class FDM(nn.Module):
             x = mish(x)
 
         style = self.style_embed(style_one_hot.astype(self.dtype))
+        if cfg.style_mish:
+            # BIWI wraps the style Linear in Mish (reference models/fdm.py:34-37)
+            style = mish(style)
         x = x + style[:, None, :]
         if cfg.emotion_classes:
             if emotion_one_hot is None:

@@ -209,3 +209,84 @@ def test_audio_frame_mismatch_raises():
     except ValueError as e:
         raised = "must match latent" in str(e)
     assert raised
+
+
+def test_fdm_biwi_variant_matches_torch_replica():
+    """BIWI flavor: style embed wrapped in Mish, bare latent encoder
+    (reference models/fdm.py:34-38)."""
+    torch.manual_seed(1)
+    cfg = FDMConfig(
+        feature_dim=32, n_head=4, num_layers=2, audio_dim=24,
+        audio_pair_factor=2, tokens_per_frame=4, emotion_classes=0,
+        style_classes=6, num_timesteps=50, max_seq_len=40, alibi_period=25,
+        style_mish=True, latent_encoder_mish=False, dropout=0.0,
+    )
+    alibi = torch.from_numpy(alibi_biased_mask(4, 40, 25))
+    pe = torch.from_numpy(
+        np.asarray(sinusoidal_table(cfg.max_seq_len, cfg.feature_dim))
+    ).float()
+
+    class BiwiReplica(TorchFDMReplica):
+        def __init__(self):
+            super().__init__(
+                FDMConfig(
+                    feature_dim=32, n_head=4, num_layers=2, audio_dim=24,
+                    audio_pair_factor=2, tokens_per_frame=4,
+                    emotion_classes=7, style_classes=6, num_timesteps=50,
+                    max_seq_len=40,
+                ),
+                alibi, pe,
+            )
+            D = 32
+            self.style_embedd = nn_t.Sequential(
+                nn_t.Linear(6, D), nn_t.Mish()
+            )
+            self.latent_encoder = nn_t.Linear(D, D)
+
+        def forward(self, x_t, t, audio_hidden, style):
+            c = self.cfg
+            B, L, C = x_t.shape
+            x = x_t.reshape(B, L // c.tokens_per_frame, c.tokens_per_frame * C)
+            T = x.shape[1]
+            audio = audio_hidden.reshape(
+                B, audio_hidden.shape[1] // c.audio_pair_factor,
+                audio_hidden.shape[2] * c.audio_pair_factor,
+            )[:, :T]
+            af = self.audio_extract(audio)
+            vf = self.latent_encoder(x)
+            one_hot_t = torch.zeros(B, c.num_timesteps)
+            one_hot_t[torch.arange(B), t] = 1.0
+            vf = vf + self.style_embedd(style)[:, None]
+            af = af + self.time_embedd(one_hot_t)[:, None]
+            vf = vf + self.pe[:T][None]
+            mem_mask = torch.from_numpy(~enc_dec_diagonal_allowed(T, T))
+            # torch 3D attn_mask wants (B*H, T, T)
+            tgt_mask = self.alibi[:, :T, :T].repeat(B, 1, 1)
+            out = self.decoder(
+                vf, af, tgt_mask=tgt_mask, memory_mask=mem_mask
+            )
+            return self.latent_decoder(out).reshape(B, L, C)
+
+    replica = BiwiReplica().eval()
+    sd = {
+        k.replace("decoder.layers.", "transformer_decoder.layers."): v
+        for k, v in replica.state_dict().items()
+    }
+    params = convert_fdm(sd, cfg)
+
+    B, T = 2, 9
+    L, C = T * 4, 8
+    x_t = torch.randn(B, L, C)
+    t = torch.tensor([7, 31])
+    audio = torch.randn(B, T * 2, 24)
+    style = torch.eye(6)[:B]
+    with torch.no_grad():
+        want = replica(x_t, t, audio, style).numpy()
+
+    model = FDM(cfg, cross_mode="full")
+    paired = audio.numpy().reshape(B, T, 2 * 24)  # our FDM takes pre-paired
+    got = model.apply(
+        params, jnp.asarray(x_t.numpy()), jnp.asarray(t.numpy()),
+        jnp.asarray(paired), jnp.asarray(style.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)

@@ -94,6 +94,24 @@ class PreLNTransformer(nn.Module):
         return x
 
 
+class _InstanceNorm(nn.Module):
+    """InstanceNorm over time, optionally affine per channel (the reference's
+    INaffine flag, torch InstanceNorm1d(affine=...) — reference
+    models/vq_vae.py:146; every reference preset leaves it False)."""
+
+    affine: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = instance_norm_1d(x)
+        if self.affine:
+            C = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (C,))
+            bias = self.param("bias", nn.initializers.zeros, (C,))
+            x = x * scale + bias
+        return x
+
+
 class ConvSquasher(nn.Module):
     """Temporal conv stack before/after the transformer (k5, replicate pad,
     LeakyReLU, InstanceNorm) — reference vq_vae.py:141-164."""
@@ -102,6 +120,7 @@ class ConvSquasher(nn.Module):
     quant_factor: int
     neg_slope: float
     dtype: jnp.dtype = jnp.float32
+    in_affine: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -112,7 +131,7 @@ class ConvSquasher(nn.Module):
                 name="conv_0",
             )(x)
             x = nn.leaky_relu(x, self.neg_slope)
-            x = instance_norm_1d(x)
+            x = _InstanceNorm(self.in_affine, name="norm_0")(x)
             return x
         x = replicate_pad_1d(x, 2)
         x = nn.Conv(
@@ -120,7 +139,7 @@ class ConvSquasher(nn.Module):
             dtype=self.dtype, name="conv_0",
         )(x)
         x = nn.leaky_relu(x, self.neg_slope)
-        x = instance_norm_1d(x)
+        x = _InstanceNorm(self.in_affine, name="norm_0")(x)
         for i in range(1, self.quant_factor):
             x = replicate_pad_1d(x, 2)
             x = nn.Conv(
@@ -128,7 +147,7 @@ class ConvSquasher(nn.Module):
                 name=f"conv_{i}",
             )(x)
             x = nn.leaky_relu(x, self.neg_slope)
-            x = instance_norm_1d(x)
+            x = _InstanceNorm(self.in_affine, name=f"norm_{i}")(x)
             x = nn.max_pool(x, (2,), strides=(2,))
         return x
 
@@ -140,6 +159,7 @@ class ConvExpander(nn.Module):
     quant_factor: int
     neg_slope: float
     dtype: jnp.dtype = jnp.float32
+    in_affine: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -150,14 +170,14 @@ class ConvExpander(nn.Module):
                 name="conv_0",
             )(x)
             x = nn.leaky_relu(x, self.neg_slope)
-            x = instance_norm_1d(x)
+            x = _InstanceNorm(self.in_affine, name="norm_0")(x)
             return x
         x = nn.ConvTranspose(
             self.hidden_size, (5,), strides=(2,), padding="SAME",
             dtype=self.dtype, name="deconv_0",
         )(x)
         x = nn.leaky_relu(x, self.neg_slope)
-        x = instance_norm_1d(x)
+        x = _InstanceNorm(self.in_affine, name="norm_0")(x)
         for i in range(1, self.quant_factor):
             x = replicate_pad_1d(x, 2)
             x = nn.Conv(
@@ -165,7 +185,7 @@ class ConvExpander(nn.Module):
                 name=f"conv_{i}",
             )(x)
             x = nn.leaky_relu(x, self.neg_slope)
-            x = instance_norm_1d(x)
+            x = _InstanceNorm(self.in_affine, name=f"norm_{i}")(x)
             x = jnp.repeat(x, 2, axis=1)
         return x
 
@@ -195,7 +215,7 @@ class VQEncoder(nn.Module):
             x = x + e[:, None, :]
         x = ConvSquasher(
             cfg.hidden_size, cfg.quant_factor, cfg.neg_slope, self.dtype,
-            name="squasher",
+            cfg.in_affine, name="squasher",
         )(x)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_transformer")(x)
         x = x + jnp.asarray(
@@ -230,7 +250,7 @@ class VQDecoder(nn.Module):
             x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_expander")(x)
         x = ConvExpander(
             cfg.hidden_size, cfg.quant_factor, cfg.neg_slope, self.dtype,
-            name="expander",
+            cfg.in_affine, name="expander",
         )(x)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_transformer")(x)
         x = x + jnp.asarray(

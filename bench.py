@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 
 def build(seconds: float, steps: int, fused: bool = False,
-          include_audio_encoder: bool = True):
+          include_audio_encoder: bool = True, dtype: str = "float32"):
     from fdm_tpu.audio import AudioEncoder, pair_frames
     from fdm_tpu.audio.encoder import get_encoder_config
     from fdm_tpu.configs import get_config
@@ -42,7 +42,8 @@ def build(seconds: float, steps: int, fused: bool = False,
     sr = cfg.dataset.audio_sr
     T = int(seconds * fps)
     ld = LatentDiffusion.create(
-        cfg, self_attn_mode="fused" if fused else "table"
+        cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        self_attn_mode="fused" if fused else "table",
     )
 
     B = 1
@@ -120,6 +121,9 @@ def main():
                     help="Pallas fused-attention denoiser")
     ap.add_argument("--no_audio_encoder", action="store_true",
                     help="exclude HuBERT from the timed region")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model compute dtype (fp32 is the parity default)")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -129,6 +133,7 @@ def main():
     generate = build(
         args.seconds, args.steps, fused=args.fused,
         include_audio_encoder=not args.no_audio_encoder,
+        dtype=args.dtype,
     )
 
     # compile + warmup

@@ -13,7 +13,7 @@ import torch.nn as nn_t
 from fdm_tpu.configs import FDMConfig
 from fdm_tpu.models import FDM
 from fdm_tpu.ops.masks import alibi_biased_mask, enc_dec_diagonal_allowed
-from fdm_tpu.ops.positional import sinusoidal_table
+from fdm_tpu.ops.positional import periodic_positional_encoding, sinusoidal_table
 from fdm_tpu.utils.torch_import import convert_fdm
 
 from reference_oracle import import_reference_module
@@ -290,3 +290,15 @@ def test_fdm_biwi_variant_matches_torch_replica():
         jnp.asarray(paired), jnp.asarray(style.numpy()),
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_periodic_pe_matches_reference():
+    """VOCASET PeriodicPositionalEncoding parity (torch oracle)."""
+    ref = import_reference_module("models.fdm_vocaset")
+    mod = ref.PeriodicPositionalEncoding(
+        d_model=16, dropout=0.0, period=5, max_seq_len=23
+    ).eval()
+    ours = periodic_positional_encoding(5, 16, max_seq_len=23)
+    with torch.no_grad():
+        want = mod(torch.zeros(1, 23, 16)).numpy()[0]
+    np.testing.assert_allclose(ours[:23], want, atol=1e-6)

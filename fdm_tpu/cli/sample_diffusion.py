@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--all_conditions", action="store_true",
                         help="generate once per training identity "
                              "(reference sample_diffusion_vocaset.py:71-73)")
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="clips generated per device call (records are "
+                             "grouped by bucketed length so batches share "
+                             "one compiled shape)")
     parser.add_argument("--flame_model", default=None)
     return parser
 
@@ -96,16 +100,29 @@ def main(argv=None) -> int:
     out_dir = ensure_dir(args.output_dir)
     key = jax.random.PRNGKey(args.seed)
     n_out = 0
-    for rec in records:
+    # group records by bucketed length so each device call is one
+    # compiled shape with a full batch
+    from fdm_tpu.data.common import bucket_frames
+
+    by_len = sorted(
+        records,
+        key=lambda r: bucket_frames(
+            r.num_frames, cfg.train.frame_bucket, cfg.train.max_frames
+        ),
+    )
+    chunks = [
+        by_len[i : i + args.batch_size]
+        for i in range(0, len(by_len), args.batch_size)
+    ]
+    for chunk in chunks:
         batch = decode_motion(
             cfg,
-            collate_batch([rec], bucket=cfg.train.frame_bucket,
+            collate_batch(chunk, bucket=cfg.train.frame_bucket,
                           max_frames=cfg.train.max_frames,
                           fps=cfg.dataset.fps, include_audio=True),
             flame,
         )
         T_pad = batch["motion"].shape[1]
-        T = min(rec.num_frames, T_pad)
         audio_hidden = frontend(batch["audio"], T_pad)
         template = jnp.asarray(batch["template"])
         emotion = batch.get("emotion_one_hot")
@@ -118,17 +135,25 @@ def main(argv=None) -> int:
             style = (
                 jnp.asarray(batch["style_one_hot"])
                 if cond is None
-                else jnp.eye(cfg.fdm.style_classes)[None, cond]
+                else jnp.tile(
+                    jnp.eye(cfg.fdm.style_classes)[None, cond], (len(chunk), 1)
+                )
             )
             key, sub = jax.random.split(key)
             verts = np.asarray(
                 generate(sub, audio_hidden, template, style, emotion)
-            )[0, :T]
+            )
             suffix = "" if cond is None else f"_condition_{cond}"
-            np.save(os.path.join(out_dir, rec.name + suffix + ".npy"), verts)
-            n_out += 1
+            for row, rec in enumerate(chunk):
+                T = min(rec.num_frames, T_pad)
+                np.save(
+                    os.path.join(out_dir, rec.name + suffix + ".npy"),
+                    verts[row, :T],
+                )
+                n_out += 1
     print(f"saved {n_out} generations to {out_dir} "
-          f"(sampler={sampler}, steps={args.steps or 'default'})")
+          f"(sampler={sampler}, steps={args.steps or 'default'}, "
+          f"batch_size={args.batch_size})")
     return 0
 
 

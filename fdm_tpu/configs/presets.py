@@ -86,6 +86,9 @@ class FDMConfig:
     num_timesteps: int = 1000
     dropout: float = 0.1
     cfg_mask_prob: float = 0.1             # classifier-free-guidance cond dropout
+    adain_conditioning: bool = False       # adaIN fusion of time->audio and
+                                           # emotion->latent (the reference's
+                                           # dormant path, fdm_vqvae_mead.py:94-95)
 
     @property
     def ffn_dim(self) -> int:

@@ -204,10 +204,16 @@ class FDM(nn.Module):
             if emotion_one_hot is None:
                 raise ValueError("emotion-conditioned FDM requires emotion_one_hot")
             emo = self.emotion_embed(emotion_one_hot.astype(self.dtype))
-            x = x + emo[:, None, :]
+            if cfg.adain_conditioning:
+                x = _adain_channels(x, emo)
+            else:
+                x = x + emo[:, None, :]
 
         time = self._time_embedding(t)                       # (B, D)
-        mem = audio_feat + time[:, None, :]
+        if cfg.adain_conditioning:
+            mem = _adain_channels(audio_feat, time)
+        else:
+            mem = audio_feat + time[:, None, :]
 
         x = x + jnp.asarray(self._pe[:T], dtype=x.dtype)[None]
         bias = jnp.asarray(self._alibi[:, :T, :T])
@@ -226,6 +232,21 @@ class FDM(nn.Module):
         return self.denoise(
             x_t, t, audio_feat, style_one_hot, emotion_one_hot, deterministic
         )
+
+
+def _adain_channels(content: jnp.ndarray, style_vec: jnp.ndarray,
+                    eps: float = 1e-5) -> jnp.ndarray:
+    """Per-frame channel renormalization to a conditioning vector's
+    statistics — the reference's dormant adaIN fusion
+    (fdm_vqvae_mead.py:94-95 calls adaIN(features, cond.repeat(...)) whose
+    (N, C, L) layout reduces over the feature axis per frame).
+
+    content: (B, T, C); style_vec: (B, C)."""
+    c_mean = jnp.mean(content, axis=-1, keepdims=True)
+    c_std = jnp.sqrt(jnp.var(content, axis=-1, keepdims=True) + eps)
+    s_mean = jnp.mean(style_vec, axis=-1)[:, None, None]
+    s_std = jnp.sqrt(jnp.var(style_vec, axis=-1) + eps)[:, None, None]
+    return (content - c_mean) / c_std * s_std + s_mean
 
 
 class _DecoderLayer(nn.Module):

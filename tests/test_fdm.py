@@ -302,3 +302,51 @@ def test_periodic_pe_matches_reference():
     with torch.no_grad():
         want = mod(torch.zeros(1, 23, 16)).numpy()[0]
     np.testing.assert_allclose(ours[:23], want, atol=1e-6)
+
+
+def test_adain_conditioning_mode():
+    """adain_conditioning renormalizes per-frame channel stats to the
+    conditioning vector's stats (reference's dormant adaIN fusion)."""
+    from fdm_tpu.models.fdm import _adain_channels
+
+    content = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16)) * 3 + 1
+    style = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    out = _adain_channels(content, style)
+    # per-frame channel stats equal the style vector's stats
+    np.testing.assert_allclose(
+        np.asarray(out.mean(-1)),
+        np.asarray(style.mean(-1))[:, None] * np.ones((1, 5)),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.std(-1)),
+        np.asarray(style.std(-1))[:, None] * np.ones((1, 5)),
+        atol=1e-3,
+    )
+
+    cfg_add = small_cfg()
+    import dataclasses
+    cfg_ada = dataclasses.replace(cfg_add, adain_conditioning=True)
+    B, T = 1, 6
+    L, C = T * cfg_add.tokens_per_frame, cfg_add.feature_dim // cfg_add.tokens_per_frame
+    x_t = jax.random.normal(jax.random.PRNGKey(2), (B, L, C))
+    audio = jax.random.normal(
+        jax.random.PRNGKey(3), (B, T, cfg_add.audio_dim * cfg_add.audio_pair_factor)
+    )
+    st = jnp.eye(5)[:B]; emo = jnp.eye(7)[:B]
+    t = jnp.array([4], jnp.int32)
+    model_add, model_ada = FDM(cfg_add), FDM(cfg_ada)
+    params = model_add.init(jax.random.PRNGKey(4), x_t, t, audio, st, emo)
+    # same param tree, different fusion; both finite, and they differ
+    out_add = model_add.apply(params, x_t, t, audio, st, emo)
+    out_ada = model_ada.apply(params, x_t, t, audio, st, emo)
+    assert np.isfinite(np.asarray(out_ada)).all()
+    # zero-init head makes both zero; compare pre-head by perturbing params
+    # the fusion difference mostly collapses under the decoder LayerNorms;
+    # assert it exists at all (the stats checks above verify the math)
+    p2 = jax.tree_util.tree_map(lambda x: x + 0.1, params)
+    d = np.abs(
+        np.asarray(model_add.apply(p2, x_t, t, audio, st, emo))
+        - np.asarray(model_ada.apply(p2, x_t, t, audio, st, emo))
+    ).max()
+    assert d > 1e-7

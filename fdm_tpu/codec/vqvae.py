@@ -32,7 +32,11 @@ import jax.numpy as jnp
 
 from fdm_tpu.configs import VQVAEConfig
 from fdm_tpu.codec import quantizer as quant_lib
-from fdm_tpu.ops.basic import instance_norm_1d, replicate_pad_1d
+from fdm_tpu.ops.basic import (
+    fill_padding_with_edge,
+    instance_norm_1d,
+    replicate_pad_1d,
+)
 from fdm_tpu.ops.positional import sinusoidal_table
 
 
@@ -60,10 +64,20 @@ class PreLNTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 key_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """key_mask (B, L): 1 = real position. Bucketed static-shape batches
+        pad the tail; the transformer is BIDIRECTIONAL, so without this mask
+        pad frames would leak into valid frames' features (the reference
+        never pads — batch size 1, exact lengths)."""
         dim = self.hidden_size
         # reference quirk: softmax scale uses the FULL model dim
         scale = dim**-0.5
+        key_bias = None
+        if key_mask is not None:
+            key_bias = jnp.where(
+                key_mask[:, None, None, :] > 0, 0.0, -jnp.inf
+            ).astype(jnp.float32)
         for layer in range(self.num_layers):
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"attn_ln_{layer}")(x)
             qkv = nn.Dense(
@@ -76,6 +90,8 @@ class PreLNTransformer(nn.Module):
             k = k.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
             v = v.reshape(B, L, self.num_heads, hd).transpose(0, 2, 1, 3)
             logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+            if key_bias is not None:
+                logits = logits + key_bias
             attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
                 self.dtype
             )
@@ -102,8 +118,19 @@ class _InstanceNorm(nn.Module):
     affine: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = instance_norm_1d(x)
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """mask (B, L): statistics over valid positions only — InstanceNorm
+        reduces over TIME, so unmasked padding would shift every frame's
+        normalization (the second pad-leak path besides attention)."""
+        if mask is None:
+            x = instance_norm_1d(x)
+        else:
+            w = mask[..., None].astype(x.dtype)
+            n = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+            mean = jnp.sum(x * w, axis=1, keepdims=True) / n
+            var = jnp.sum(jnp.square(x - mean) * w, axis=1, keepdims=True) / n
+            x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
         if self.affine:
             C = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (C,))
@@ -123,7 +150,8 @@ class ConvSquasher(nn.Module):
     in_affine: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         if self.quant_factor == 0:
             x = replicate_pad_1d(x, 2)
             x = nn.Conv(
@@ -131,7 +159,7 @@ class ConvSquasher(nn.Module):
                 name="conv_0",
             )(x)
             x = nn.leaky_relu(x, self.neg_slope)
-            x = _InstanceNorm(self.in_affine, name="norm_0")(x)
+            x = _InstanceNorm(self.in_affine, name="norm_0")(x, mask)
             return x
         x = replicate_pad_1d(x, 2)
         x = nn.Conv(
@@ -139,7 +167,8 @@ class ConvSquasher(nn.Module):
             dtype=self.dtype, name="conv_0",
         )(x)
         x = nn.leaky_relu(x, self.neg_slope)
-        x = _InstanceNorm(self.in_affine, name="norm_0")(x)
+        mask = mask[:, ::2] if mask is not None else None
+        x = _InstanceNorm(self.in_affine, name="norm_0")(x, mask)
         for i in range(1, self.quant_factor):
             x = replicate_pad_1d(x, 2)
             x = nn.Conv(
@@ -147,8 +176,9 @@ class ConvSquasher(nn.Module):
                 name=f"conv_{i}",
             )(x)
             x = nn.leaky_relu(x, self.neg_slope)
-            x = _InstanceNorm(self.in_affine, name=f"norm_{i}")(x)
+            x = _InstanceNorm(self.in_affine, name=f"norm_{i}")(x, mask)
             x = nn.max_pool(x, (2,), strides=(2,))
+            mask = mask[:, ::2] if mask is not None else None
         return x
 
 
@@ -162,7 +192,8 @@ class ConvExpander(nn.Module):
     in_affine: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         if self.quant_factor == 0:
             x = replicate_pad_1d(x, 2)
             x = nn.Conv(
@@ -170,14 +201,15 @@ class ConvExpander(nn.Module):
                 name="conv_0",
             )(x)
             x = nn.leaky_relu(x, self.neg_slope)
-            x = _InstanceNorm(self.in_affine, name="norm_0")(x)
+            x = _InstanceNorm(self.in_affine, name="norm_0")(x, mask)
             return x
         x = nn.ConvTranspose(
             self.hidden_size, (5,), strides=(2,), padding="SAME",
             dtype=self.dtype, name="deconv_0",
         )(x)
         x = nn.leaky_relu(x, self.neg_slope)
-        x = _InstanceNorm(self.in_affine, name="norm_0")(x)
+        mask = jnp.repeat(mask, 2, axis=1) if mask is not None else None
+        x = _InstanceNorm(self.in_affine, name="norm_0")(x, mask)
         for i in range(1, self.quant_factor):
             x = replicate_pad_1d(x, 2)
             x = nn.Conv(
@@ -185,8 +217,9 @@ class ConvExpander(nn.Module):
                 name=f"conv_{i}",
             )(x)
             x = nn.leaky_relu(x, self.neg_slope)
-            x = _InstanceNorm(self.in_affine, name=f"norm_{i}")(x)
+            x = _InstanceNorm(self.in_affine, name=f"norm_{i}")(x, mask)
             x = jnp.repeat(x, 2, axis=1)
+            mask = jnp.repeat(mask, 2, axis=1) if mask is not None else None
         return x
 
 
@@ -196,9 +229,14 @@ class VQEncoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, motion: jnp.ndarray, one_hot: Optional[jnp.ndarray] = None
+        self, motion: jnp.ndarray, one_hot: Optional[jnp.ndarray] = None,
+        frame_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.config
+        if frame_mask is not None:
+            # make tail padding an exact edge-replication of the last valid
+            # frame so the conv stack matches the unpadded computation
+            motion = fill_padding_with_edge(motion, frame_mask)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="vertice_mapping")(
             motion
         )
@@ -216,7 +254,7 @@ class VQEncoder(nn.Module):
         x = ConvSquasher(
             cfg.hidden_size, cfg.quant_factor, cfg.neg_slope, self.dtype,
             cfg.in_affine, name="squasher",
-        )(x)
+        )(x, frame_mask)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_transformer")(x)
         x = x + jnp.asarray(
             sinusoidal_table(1, cfg.hidden_size)[0], dtype=self.dtype
@@ -224,7 +262,7 @@ class VQEncoder(nn.Module):
         x = PreLNTransformer(
             cfg.hidden_size, cfg.num_hidden_layers, cfg.num_attention_heads,
             cfg.intermediate_size, self.dtype, name="transformer",
-        )(x)
+        )(x, frame_mask)
         if cfg.post_pre_linear:
             x = nn.Dense(
                 cfg.latent_frame_dim, dtype=self.dtype, name="post_transformer"
@@ -243,15 +281,18 @@ class VQDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z_q_tokens: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, z_q_tokens: jnp.ndarray,
+                 frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.config
         x = tokens_to_frames(z_q_tokens, cfg.face_quan_num)
+        if frame_mask is not None:
+            x = fill_padding_with_edge(x, frame_mask)
         if cfg.post_pre_linear:
             x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_expander")(x)
         x = ConvExpander(
             cfg.hidden_size, cfg.quant_factor, cfg.neg_slope, self.dtype,
             cfg.in_affine, name="expander",
-        )(x)
+        )(x, frame_mask)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_transformer")(x)
         x = x + jnp.asarray(
             sinusoidal_table(1, cfg.hidden_size)[0], dtype=self.dtype
@@ -259,7 +300,7 @@ class VQDecoder(nn.Module):
         x = PreLNTransformer(
             cfg.hidden_size, cfg.num_hidden_layers, cfg.num_attention_heads,
             cfg.intermediate_size, self.dtype, name="transformer",
-        )(x)
+        )(x, frame_mask)
         x = nn.Dense(
             self.out_dim, use_bias=cfg.decoder_out_bias, dtype=self.dtype,
             name="vertice_map_reverse",
@@ -294,8 +335,8 @@ class VQAutoEncoder(nn.Module):
             (cfg.n_embed, cfg.zquant_dim),
         )
 
-    def encode(self, motion, one_hot=None):
-        return self.encoder(motion, one_hot)
+    def encode(self, motion, one_hot=None, frame_mask=None):
+        return self.encoder(motion, one_hot, frame_mask)
 
     def quant(self, z, one_hot=None, token_mask=None):
         return quant_lib.quantize(
@@ -307,17 +348,18 @@ class VQAutoEncoder(nn.Module):
             token_mask=token_mask,
         )
 
-    def decode(self, z_q):
-        return self.decoder(z_q)
+    def decode(self, z_q, frame_mask=None):
+        return self.decoder(z_q, frame_mask)
 
-    def decode_indices(self, global_indices):
+    def decode_indices(self, global_indices, frame_mask=None):
         """Indices -> motion (reference decode_to_img, vq_vae_emotion.py:89-96)."""
         z_q = quant_lib.codebook_lookup(self.codebook, global_indices)
-        return self.decoder(z_q)
+        return self.decoder(z_q, frame_mask)
 
-    def __call__(self, x, template, one_hot=None, token_mask=None):
+    def __call__(self, x, template, one_hot=None, token_mask=None,
+                 frame_mask=None):
         motion = x - template
-        z = self.encode(motion, one_hot)
+        z = self.encode(motion, one_hot, frame_mask)
         q = self.quant(z, one_hot, token_mask)
-        recon = self.decode(q.z_q) + template
+        recon = self.decode(q.z_q, frame_mask) + template
         return recon, q.loss, q.perplexity

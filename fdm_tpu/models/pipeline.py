@@ -116,7 +116,8 @@ class LatentDiffusion:
             if frame_mask is not None else None
         )
         recon, quant_loss, perplexity = self.vqvae.apply(
-            vq_params, motion, template, emotion_one_hot, token_mask
+            vq_params, motion, template, emotion_one_hot, token_mask,
+            frame_mask,
         )
         err = jnp.abs(recon - motion)
         if frame_mask is not None:
@@ -160,7 +161,8 @@ class LatentDiffusion:
         # train/train_diffusion_mead.py:32)
         vq_params = jax.lax.stop_gradient(vq_params)
         latent = self.vqvae.apply(
-            vq_params, motion - template, emotion_one_hot, method="encode"
+            vq_params, motion - template, emotion_one_hot, frame_mask,
+            method="encode",
         )
 
         t = jax.random.randint(
@@ -207,7 +209,9 @@ class LatentDiffusion:
             vq_params, x_recon, emotion_one_hot, token_mask,
             method="quant",
         )
-        recon_motion = self.vqvae.apply(vq_params, q.z_q, method="decode")
+        recon_motion = self.vqvae.apply(
+            vq_params, q.z_q, frame_mask, method="decode"
+        )
         recon_motion = recon_motion + template
         err = jnp.square(recon_motion - motion)
         if frame_mask is not None:

@@ -26,6 +26,19 @@ def instance_norm_1d(
     return (x - mean) * jax.lax.rsqrt(var + eps)
 
 
+def fill_padding_with_edge(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Replace tail padding of (B, L, C) with each sequence's last VALID
+    frame. Convolutions then see exactly the edge-replicated signal they
+    would see on the unpadded sequence, so bucketed static-shape batches
+    compute identical features for valid frames (padding always sits at the
+    tail in this framework's collate)."""
+    lengths = jnp.sum(mask > 0, axis=1).astype(jnp.int32)        # (B,)
+    idx = jnp.minimum(
+        jnp.arange(x.shape[1])[None, :], jnp.maximum(lengths - 1, 0)[:, None]
+    )                                                            # (B, L)
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
 def replicate_pad_1d(x: jnp.ndarray, pad: int, axis: int = 1) -> jnp.ndarray:
     """Edge-replicate padding along the time axis (torch padding_mode='replicate')."""
     pad_width = [(0, 0)] * x.ndim

@@ -107,3 +107,55 @@ def test_gradients_flow_through_straight_through():
     assert sum(jnp.abs(g).sum() for g in g_enc) > 0
     assert jnp.abs(g_cb).sum() > 0
     assert all(jnp.isfinite(g).all() for g in flat)
+
+
+def test_frame_mask_blocks_padding_leak():
+    """With the frame mask, a padded batch must produce IDENTICAL encoder
+    latents on the valid prefix as the unpadded sequence (the VQ transformer
+    is bidirectional — unmasked padding leaks into valid frames)."""
+    import dataclasses
+
+    cfg = tiny_config()
+    model = VQAutoEncoder(cfg)
+    B, T, pad = 1, 9, 7
+    motion = jax.random.normal(jax.random.PRNGKey(0), (B, T, cfg.in_dim)) * 0.1
+    emo = None
+    params = model.init(
+        jax.random.PRNGKey(1), motion, jnp.zeros((B, 1, cfg.in_dim)), emo
+    )
+
+    z_exact = model.apply(params, motion, emo, method="encode")
+
+    padded = jnp.concatenate(
+        [motion, jnp.zeros((B, pad, cfg.in_dim))], axis=1
+    )
+    mask = jnp.concatenate(
+        [jnp.ones((B, T)), jnp.zeros((B, pad))], axis=1
+    )
+    z_masked = model.apply(params, padded, emo, mask, method="encode")
+    z_unmasked = model.apply(params, padded, emo, method="encode")
+
+    # edge-fill + masked InstanceNorm + masked attention make the padded
+    # computation EXACT on every valid token
+    L = T * cfg.face_quan_num
+    np.testing.assert_allclose(
+        np.asarray(z_masked[:, :L]), np.asarray(z_exact),
+        atol=1e-5, rtol=1e-5,
+    )
+    # and the unmasked padded batch does NOT match (the leak is real)
+    assert not np.allclose(
+        np.asarray(z_unmasked[:, :L]), np.asarray(z_exact), atol=1e-5
+    )
+
+    # decoder side too: masked padded decode == exact decode on valid frames
+    q = model.apply(params, z_exact, method="quant")
+    dec_exact = model.apply(params, q.z_q, method="decode")
+    z_pad = jnp.concatenate(
+        [q.z_q, jnp.zeros((B, pad * cfg.face_quan_num, cfg.zquant_dim))],
+        axis=1,
+    )
+    dec_masked = model.apply(params, z_pad, mask, method="decode")
+    np.testing.assert_allclose(
+        np.asarray(dec_masked[:, :T]), np.asarray(dec_exact),
+        atol=1e-5, rtol=1e-5,
+    )

@@ -113,6 +113,8 @@ class FDM(nn.Module):
     cross_mode: str = "fast"  # "fast" (diagonal-exact) | "full" (masked attn)
     self_attn_mode: str = "table"  # "table" (dense ALiBi bias) | "fused"
                                    # (Pallas kernel, regenerates the bias)
+    remat: bool = False  # rematerialize decoder layers (memory <- FLOPs,
+                         # for long sequences / large batches)
 
     def setup(self):
         cfg = self.config
@@ -128,10 +130,14 @@ class FDM(nn.Module):
             D, dtype=self.dtype,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
         )
+        layer_cls = (
+            nn.remat(_DecoderLayer, static_argnums=(4,))
+            if self.remat else _DecoderLayer
+        )
         layers = []
         for i in range(cfg.num_layers):
             layers.append(
-                _DecoderLayer(
+                layer_cls(
                     D, cfg.n_head, cfg.ffn_dim, cfg.dropout, self.dtype,
                     self.cross_mode, self.self_attn_mode,
                     alibi_period=cfg.alibi_period, name=f"layer_{i}",

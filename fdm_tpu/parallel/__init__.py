@@ -3,6 +3,15 @@ from fdm_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    initialize_distributed,
+    local_batch_slice,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "initialize_distributed",
+    "local_batch_slice",
+]

@@ -51,3 +51,35 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host setup for pod slices: call once per host before any jax
+    use; jax.devices() then spans the whole slice and make_mesh() builds a
+    global mesh (collectives ride ICI within a slice, DCN across slices —
+    SURVEY.md §5.8). On TPU pods the arguments auto-detect from the
+    environment; returns the process index. No-op for single-process runs."""
+    if jax.process_count() > 1:
+        return jax.process_index()
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process / already initialized / no cluster env: fine
+        pass
+    return jax.process_index()
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The rows of a globally-indexed batch this host should feed (per-host
+    data loading for multi-host DP)."""
+    per = global_batch // jax.process_count()
+    start = per * jax.process_index()
+    return slice(start, start + per)

@@ -350,3 +350,30 @@ def test_adain_conditioning_mode():
         - np.asarray(model_ada.apply(p2, x_t, t, audio, st, emo))
     ).max()
     assert d > 1e-7
+
+
+def test_remat_matches_plain():
+    """nn.remat'd decoder layers: identical forward and gradients."""
+    cfg = small_cfg()
+    B, T = 1, 5
+    L, C = T * cfg.tokens_per_frame, cfg.feature_dim // cfg.tokens_per_frame
+    x_t = jax.random.normal(jax.random.PRNGKey(0), (B, L, C))
+    audio = jax.random.normal(
+        jax.random.PRNGKey(1), (B, T, cfg.audio_dim * cfg.audio_pair_factor)
+    )
+    st, emo = jnp.eye(5)[:B], jnp.eye(7)[:B]
+    t = jnp.array([9], jnp.int32)
+    plain, remat = FDM(cfg), FDM(cfg, remat=True)
+    params = plain.init(jax.random.PRNGKey(2), x_t, t, audio, st, emo)
+
+    def loss(model, p):
+        return jnp.sum(jnp.square(model.apply(p, x_t, t, audio, st, emo)))
+
+    np.testing.assert_allclose(
+        np.asarray(loss(plain, params)), np.asarray(loss(remat, params)),
+        rtol=1e-6,
+    )
+    g1 = jax.grad(lambda p: loss(plain, p))(params)
+    g2 = jax.grad(lambda p: loss(remat, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -208,3 +208,62 @@ def test_convert_weights_vqvae(workdir):
     ) == 0
     files = [f for f in os.listdir("conv_out") if f.endswith(".npy")]
     assert files and np.isfinite(np.load(os.path.join("conv_out", files[0]))).all()
+
+
+def test_convert_weights_fdm_strips_diffusion_prefix(workdir):
+    """Stage-2 checkpoints store the FDM under GaussianDiffusion as
+    denoise_fn.*; the converter must strip it and produce params our FDM
+    loads."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_fdm import TorchFDMReplica, small_cfg
+    from fdm_tpu.cli import convert_weights
+    from fdm_tpu.cli.common import load_params
+    from fdm_tpu.configs import FDMConfig
+    from fdm_tpu.models import FDM
+    from fdm_tpu.ops.masks import alibi_biased_mask
+    from fdm_tpu.ops.positional import sinusoidal_table
+
+    torch.manual_seed(2)
+    cfg = small_cfg()
+    alibi = torch.from_numpy(
+        alibi_biased_mask(cfg.n_head, cfg.max_seq_len, cfg.alibi_period)
+    )
+    pe = torch.from_numpy(sinusoidal_table(cfg.max_seq_len, cfg.feature_dim))
+    replica = TorchFDMReplica(cfg, alibi, pe).eval()
+    sd = {
+        "denoise_fn."
+        + k.replace("decoder.layers.", "transformer_decoder.layers."): v
+        for k, v in replica.state_dict().items()
+    }
+    torch.save({"model": sd}, "fdm_ckpt.mpt")
+
+    overrides = []
+    for key, val in [
+        ("fdm.feature_dim", 32), ("fdm.n_head", 4), ("fdm.num_layers", 2),
+        ("fdm.audio_dim", 24), ("fdm.tokens_per_frame", 4),
+        ("fdm.num_timesteps", 50), ("fdm.max_seq_len", 40),
+        ("fdm.style_classes", 5),
+    ]:
+        overrides += ["--set", f"{key}={val}"]
+    assert convert_weights.main(
+        ["--kind", "fdm", "--dataset", "mead", "--checkpoint", "fdm_ckpt.mpt",
+         "--output", "conv/fdm.msgpack"] + overrides
+    ) == 0
+
+    import jax
+    import jax.numpy as jnp
+
+    params = load_params("conv/fdm.msgpack")
+    model = FDM(cfg)
+    B, T = 1, 6
+    L, C = T * 4, 8
+    out = model.apply(
+        params,
+        jnp.zeros((B, L, C)), jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, T, 48)), jnp.eye(5)[:B], jnp.eye(7)[:B],
+    )
+    assert np.isfinite(np.asarray(out)).all()

@@ -110,6 +110,9 @@ def build(seconds: float, steps: int, fused: bool = False,
 
 
 def main():
+    from fdm_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=10.0,
                     help="audio clip length the pipeline animates")

@@ -23,6 +23,22 @@ import numpy as np
 from fdm_tpu.configs import PipelineConfig, get_config
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache: repeat CLI invocations skip the
+    multi-minute TPU compiles (verified working over the remote-compile
+    backend). Honors JAX_COMPILATION_CACHE_DIR; defaults to ~/.cache."""
+    cache_dir = (
+        path
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.expanduser("~/.cache/fdm_tpu_xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the persistent cache: run uncached
+
+
 def parse_override(kv: str) -> Tuple[str, object]:
     key, _, raw = kv.partition("=")
     if not raw:

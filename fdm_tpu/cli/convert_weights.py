@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from fdm_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     from fdm_tpu.utils.serialization import save_params
     from fdm_tpu.utils.torch_import import load_torch_state_dict
 

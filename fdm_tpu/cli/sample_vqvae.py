@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from fdm_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = build_config(args)
 
     from fdm_tpu.data import collate_batch

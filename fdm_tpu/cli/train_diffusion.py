@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from fdm_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = build_config(args)
     epochs = args.epochs if args.epochs is not None else cfg.train.stage2_epochs
 

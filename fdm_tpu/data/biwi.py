@@ -11,7 +11,12 @@ from typing import Optional
 
 import numpy as np
 
-from fdm_tpu.data.common import DataSplits, SequenceRecord, read_wav
+from fdm_tpu.data.common import (
+    DataSplits,
+    SequenceRecord,
+    load_npy_f32,
+    read_wav,
+)
 
 TRAIN_SUBJECTS = "F2 F3 F4 M3 M4 M5".split()
 VAL_SUBJECTS = "F2 F3 F4 M3 M4 M5".split()
@@ -60,7 +65,7 @@ def load_biwi(
             if subject in subjects and sentence in SENTENCE_SPLITS[split]:
                 if max_records and len(splits[split]) >= max_records:
                     continue
-                verts = np.load(vert_path, allow_pickle=True).astype(np.float32)
+                verts = load_npy_f32(vert_path)
                 verts = verts.reshape(verts.shape[0], -1)
                 template = np.asarray(
                     templates[subject], np.float32

@@ -47,12 +47,44 @@ class DataSplits:
         return getattr(self, "valid" if key == "val" else key)
 
 
+def load_npy_f32(path: str) -> np.ndarray:
+    """.npy -> float32 array via the native C++ decoder when built
+    (fdm_tpu.data.native; handles the datasets' f16/f32/f64 storage), numpy
+    otherwise."""
+    try:
+        from fdm_tpu.data import native
+
+        if native.native_available():
+            return native.read_npy(path)
+    except Exception:
+        pass
+    return np.load(path, allow_pickle=True).astype(np.float32)
+
+
 def read_wav(path: str, target_sr: int = 16000, normalize: bool = True) -> np.ndarray:
-    """Load a wav as mono float32 at target_sr (scipy-based; the reference
-    uses librosa.load(sr=16000) + Wav2Vec2Processor normalization,
-    datasets/data_loader.py:90-97)."""
+    """Load a wav as mono float32 at target_sr (native PCM16 decoder when
+    built, else scipy; the reference uses librosa.load(sr=16000) +
+    Wav2Vec2Processor normalization, datasets/data_loader.py:90-97)."""
     from scipy.io import wavfile
     from scipy.signal import resample_poly
+
+    try:
+        from fdm_tpu.data import native
+
+        if native.native_available():
+            decoded = native.read_wav_pcm16(path)
+            if decoded is not None:
+                data, sr = decoded
+                if sr != target_sr:
+                    g = np.gcd(int(sr), int(target_sr))
+                    data = resample_poly(
+                        data, target_sr // g, sr // g
+                    ).astype(np.float32)
+                if normalize:
+                    data = (data - data.mean()) / np.sqrt(data.var() + 1e-7)
+                return data.astype(np.float32)
+    except Exception:
+        pass
 
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:

@@ -11,7 +11,12 @@ from typing import Optional
 
 import numpy as np
 
-from fdm_tpu.data.common import DataSplits, SequenceRecord, read_wav
+from fdm_tpu.data.common import (
+    DataSplits,
+    SequenceRecord,
+    load_npy_f32,
+    read_wav,
+)
 
 TRAIN_SUBJECTS = (
     "FaceTalk_170728_03272_TA FaceTalk_170904_00128_TA "
@@ -63,9 +68,7 @@ def load_vocaset(
             if subject in subjects and sentence in SENTENCE_SPLITS[split]:
                 if max_records and len(splits[split]) >= max_records:
                     continue
-                verts = np.load(vert_path, allow_pickle=True)[::2].astype(
-                    np.float32
-                )  # 60 -> 30 fps
+                verts = load_npy_f32(vert_path)[::2]  # 60 -> 30 fps
                 verts = verts.reshape(verts.shape[0], -1)
                 template = np.asarray(
                     templates[subject], np.float32

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="emotion vertex ids -> EME (mean-reduced)")
     parser.add_argument("--upper_region", default=None,
                         help="upper-face vertex ids -> FDD")
+    parser.add_argument("--lip_threshold", type=float, default=0.1,
+                        help="weight cutoff for weighted lip-mask files")
+    parser.add_argument("--upper_threshold", type=float, default=0.4,
+                        help="weight cutoff for weighted forehead-mask files")
     parser.add_argument("--templates", default=None,
                         help="templates.pkl (per-subject) or template .npy; "
                              "needed for FDD")
@@ -49,10 +53,21 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _load_region(path: str) -> np.ndarray:
+def _load_region(path: str, weight_threshold: float = 0.0) -> np.ndarray:
+    """Vertex-id region file in any of the reference formats:
+      * .npy index array (MEAD: face/lip/emotion_vertices.npy)
+      * comma- or whitespace-separated ints (BIWI regions/lve.txt, fdd.txt —
+        reference computer_metrix.py:27-33)
+      * one weight per line -> ids where weight > threshold (multiface
+        weighted_mouth_mask.txt at 0.1, forehead_mask.txt at 0.4 —
+        reference computer_metrix.py:42-55)."""
     if path.endswith(".npy"):
         return np.load(path).astype(np.int64).reshape(-1)
-    return np.loadtxt(path).astype(np.int64).reshape(-1)
+    text = open(path).read().replace(",", " ")
+    values = np.asarray([float(v) for v in text.split()], dtype=np.float64)
+    if np.all(values == np.round(values)) and (values.max() > 1 or weight_threshold == 0.0):
+        return values.astype(np.int64)
+    return np.nonzero(values > weight_threshold)[0].astype(np.int64)
 
 
 def _load_templates(path: str):
@@ -76,6 +91,7 @@ def _load_templates(path: str):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    thresholds = {"lip": args.lip_threshold, "upper": args.upper_threshold}
     regions = {}
     for arg_name, region_name in (
         ("face_region", "face"), ("lip_region", "lip"),
@@ -83,7 +99,9 @@ def main(argv=None) -> int:
     ):
         path = getattr(args, arg_name)
         if path:
-            regions[region_name] = _load_region(path)
+            regions[region_name] = _load_region(
+                path, thresholds.get(region_name, 0.0)
+            )
     templates = _load_templates(args.templates)
     fdd_region = "upper" if "upper" in regions else (
         "emotion" if "emotion" in regions else None

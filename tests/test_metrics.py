@@ -140,3 +140,28 @@ def test_flat_input_accepted(seqs):
     np.testing.assert_allclose(
         flat, region_vertex_error(gt, pred, region), rtol=1e-6
     )
+
+
+def test_region_file_formats(tmp_path):
+    """The metric CLI reads all three reference region formats."""
+    from fdm_tpu.cli.metrics import _load_region
+
+    # .npy indices
+    p = str(tmp_path / "r.npy")
+    np.save(p, np.array([3, 1, 4]))
+    np.testing.assert_array_equal(_load_region(p), [3, 1, 4])
+
+    # comma-separated ints (BIWI lve.txt style)
+    p = str(tmp_path / "lve.txt")
+    open(p, "w").write("100, 205, 3001, 7")
+    np.testing.assert_array_equal(_load_region(p), [100, 205, 3001, 7])
+
+    # one weight per line (multiface weighted masks)
+    p = str(tmp_path / "mask.txt")
+    open(p, "w").write("0.0\n0.5\n0.05\n0.2\n1.0\n")
+    np.testing.assert_array_equal(
+        _load_region(p, weight_threshold=0.1), [1, 3, 4]
+    )
+    np.testing.assert_array_equal(
+        _load_region(p, weight_threshold=0.4), [1, 4]
+    )

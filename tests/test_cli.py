@@ -267,3 +267,28 @@ def test_convert_weights_fdm_strips_diffusion_prefix(workdir):
         jnp.zeros((B, T, 48)), jnp.eye(5)[:B], jnp.eye(7)[:B],
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_train_resume_continues_from_checkpoint(workdir):
+    """--resume restores params+opt+step from the orbax checkpoint and keeps
+    counting (the original restores only model weights; optimizer restore is
+    commented out there)."""
+    import json
+
+    from fdm_tpu.cli import train_vqvae
+
+    args = BASE + ["--output_dir", "resume_t", "--epochs", "2",
+                   "--set", "train.checkpoint_every=1"]
+    assert train_vqvae.main(args) == 0
+    # 8 train records / batch 1 -> 8 steps per epoch; 2 epochs = 16 steps
+    assert train_vqvae.main(
+        args + ["--resume", "--epochs", "1"]
+    ) == 0
+
+    steps = [
+        json.loads(l)["step"]
+        for l in open("runs/vocaset_vqvae.jsonl")
+        if json.loads(l).get("kind") == "step"
+    ]
+    # the resumed run continues past the first run's 16 steps
+    assert max(steps) == 24, sorted(set(steps))[-5:]

@@ -241,9 +241,13 @@ def alibi_attention(
 ) -> jnp.ndarray:
     """Causal ALiBi attention, (B, H, T, hd) -> (B, H, T, hd).
 
-    use_pallas=None auto-selects the Pallas kernel on TPU backends."""
+    use_pallas=None auto-selects the Pallas kernel on TPU backends; beyond
+    ~1k frames the (T, T) single-tile kernel would exceed VMEM, so the
+    streaming flash variant takes over."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
+        if q.shape[2] > 1024:
+            return alibi_attention_flash(q, k, v, period, slopes)
         return alibi_attention_pallas(q, k, v, period, slopes)
     return alibi_attention_xla(q, k, v, period, slopes)

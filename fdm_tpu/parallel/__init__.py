@@ -1,3 +1,7 @@
+from fdm_tpu.parallel.tensor import (
+    fdm_tp_shardings,
+    place_tp_params,
+)
 from fdm_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
@@ -14,4 +18,6 @@ __all__ = [
     "shard_batch",
     "initialize_distributed",
     "local_batch_slice",
+    "fdm_tp_shardings",
+    "place_tp_params",
 ]

@@ -1,4 +1,9 @@
-from fdm_tpu.ops.basic import mish, instance_norm_1d, replicate_pad_1d
+from fdm_tpu.ops.basic import (
+    fill_padding_with_edge,
+    instance_norm_1d,
+    mish,
+    replicate_pad_1d,
+)
 from fdm_tpu.ops.positional import (
     sinusoidal_table,
     periodic_positional_encoding,
@@ -7,6 +12,7 @@ from fdm_tpu.ops.positional import (
 from fdm_tpu.ops.masks import alibi_biased_mask, enc_dec_diagonal_allowed, length_mask
 
 __all__ = [
+    "fill_padding_with_edge",
     "mish",
     "instance_norm_1d",
     "replicate_pad_1d",

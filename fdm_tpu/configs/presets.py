@@ -109,6 +109,8 @@ class DiffusionConfig:
     sample_steps: int = 1000        # ancestral steps at inference (MEAD: 1000)
     ddim_steps: int = 50            # DDIM steps (BIWI: 50, VOCASET: 100)
     ddim_eta: float = 0.0
+    scan_unroll: int = 4            # sampler scan unrolling (loop-overhead
+                                    # trim; numerically identical)
     cfg_scale: float = 0.0          # 0 disables classifier-free guidance;
                                     # reference demo uses 2.5 when enabled
                                     # (reference utiles/classifierfree.py:15)

@@ -331,7 +331,8 @@ class LatentDiffusion:
         if sampler == "ddpm":
             steps = num_steps or cfg.diffusion.sample_steps
             latent = ddpm_sample(
-                self.schedule, denoise_fn, latent_shape, key, num_steps=steps
+                self.schedule, denoise_fn, latent_shape, key, num_steps=steps,
+                unroll=cfg.diffusion.scan_unroll,
             )
         elif sampler == "ddim":
             steps = num_steps or cfg.diffusion.ddim_steps

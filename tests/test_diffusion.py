@@ -167,3 +167,16 @@ def test_samplers_are_jittable():
     )
     assert f(jax.random.PRNGKey(0)).shape == shape
     assert g(jax.random.PRNGKey(0)).shape == shape
+
+
+def test_ddpm_unroll_is_numerically_identical():
+    """Scan unrolling must not change the sampled trajectory at all."""
+    schedule = make_schedule(20)
+    fn = lambda x, t: 0.9 * x
+    key = jax.random.PRNGKey(5)
+    a = ddpm_sample(schedule, fn, (1, 6, 4), key, num_steps=20, unroll=1)
+    b = ddpm_sample(schedule, fn, (1, 6, 4), key, num_steps=20, unroll=4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # non-dividing unroll falls back to 1 rather than erroring
+    c = ddpm_sample(schedule, fn, (1, 6, 4), key, num_steps=20, unroll=3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--size", type=int, default=800)
     parser.add_argument("--audio_dir", default=None,
                         help="dir of <name>.wav files to mux (needs ffmpeg)")
+    parser.add_argument("--faces", default=None,
+                        help=".npy (F, 3) triangle indices -> flat-shaded "
+                             "mesh rendering instead of point splats")
     return parser
 
 
@@ -43,6 +46,7 @@ def main(argv=None) -> int:
     if not files:
         raise SystemExit(f"no .npy files at {args.pred_path}")
 
+    faces = np.load(args.faces).astype(np.int64) if args.faces else None
     os.makedirs(args.output_dir, exist_ok=True)
     for path in files:
         name = os.path.splitext(os.path.basename(path))[0]
@@ -54,8 +58,8 @@ def main(argv=None) -> int:
             audio = cand if os.path.exists(cand) else None
         out = os.path.join(args.output_dir, name + ".mp4")
         n = write_video(
-            render_sequence(verts, size=args.size), out, fps=args.fps,
-            audio_path=audio,
+            render_sequence(verts, size=args.size, faces=faces), out,
+            fps=args.fps, audio_path=audio,
         )
         print(f"{out}: {n} frames @ {args.fps} fps")
     return 0

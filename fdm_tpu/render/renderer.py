@@ -71,18 +71,59 @@ def render_frame(
     return np.stack([gray, gray, gray], axis=-1)
 
 
+def render_mesh_frame(
+    vertices: np.ndarray,               # (V, 3)
+    faces: np.ndarray,                  # (F, 3) int
+    size: int = 800,
+    bounds: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> np.ndarray:
+    """Flat-shaded triangle rasterization (painter's algorithm + Lambertian
+    shading from a fixed front light) — the closest in-image equivalent of
+    the original's pyrender offscreen pass."""
+    import cv2
+
+    xy, z = project_orthographic(vertices, size, bounds)
+    tri_z = z[faces].mean(axis=1)
+    order = np.argsort(tri_z)  # far to near
+
+    v = np.asarray(vertices, np.float32)
+    e1 = v[faces[:, 1]] - v[faces[:, 0]]
+    e2 = v[faces[:, 2]] - v[faces[:, 0]]
+    normals = np.cross(e1, e2)
+    norm = np.linalg.norm(normals, axis=1, keepdims=True)
+    normals = normals / np.maximum(norm, 1e-12)
+    # light from the camera (+z); two-sided shading
+    shade = 0.15 + 0.85 * np.abs(normals[:, 2])
+
+    img = np.zeros((size, size), np.float32)
+    pts = xy[faces]  # (F, 3, 2)
+    for i in order:
+        cv2.fillConvexPoly(
+            img, pts[i].astype(np.int32), float(shade[i]),
+            lineType=cv2.LINE_8,
+        )
+    gray = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    return np.stack([gray, gray, gray], axis=-1)
+
+
 def render_sequence(
     vertices: np.ndarray,               # (T, V, 3) or (T, V*3)
     size: int = 800,
+    faces: Optional[np.ndarray] = None,
 ) -> Iterable[np.ndarray]:
-    """Yield one frame per timestep with sequence-constant normalization."""
+    """Yield one frame per timestep with sequence-constant normalization.
+    With `faces`, frames are flat-shaded meshes; otherwise depth-shaded
+    point splats."""
     verts = np.asarray(vertices, np.float32)
     if verts.ndim == 2:
         verts = verts.reshape(verts.shape[0], -1, 3)
     lo = verts.reshape(-1, 3).min(axis=0)
     hi = verts.reshape(-1, 3).max(axis=0)
     for t in range(verts.shape[0]):
-        yield render_frame(verts[t], size, bounds=(lo, hi))
+        if faces is not None:
+            yield render_mesh_frame(verts[t], faces, size, bounds=(lo, hi))
+        else:
+            yield render_frame(verts[t], size, bounds=(lo, hi))
 
 
 def write_video(

@@ -52,3 +52,31 @@ def test_render_sequence_accepts_flat_vertices():
     seq = rng.randn(3, 90).astype(np.float32)  # (T, V*3)
     frames = list(render_sequence(seq, size=32))
     assert frames[0].shape == (32, 32, 3)
+
+
+def test_render_mesh_frame_with_faces(tmp_path):
+    from fdm_tpu.render import render_mesh_frame
+
+    verts = rng.randn(20, 3).astype(np.float32)
+    faces = np.stack(
+        [np.arange(18), np.arange(1, 19), np.arange(2, 20)], axis=1
+    )
+    frame = render_mesh_frame(verts, faces, size=64)
+    assert frame.shape == (64, 64, 3) and frame.dtype == np.uint8
+    assert frame.max() > 0
+
+
+def test_render_cli_with_faces(tmp_path):
+    from fdm_tpu.cli import render as render_cli
+
+    seq = rng.randn(1, 12, 3).astype(np.float32) + rng.randn(3, 12, 3) * 0.01
+    np.save(str(tmp_path / "seq.npy"), seq)
+    faces = np.stack([np.arange(10), np.arange(1, 11), np.arange(2, 12)], 1)
+    np.save(str(tmp_path / "faces.npy"), faces)
+    assert render_cli.main(
+        ["--pred_path", str(tmp_path / "seq.npy"),
+         "--output_dir", str(tmp_path / "v"), "--size", "48",
+         "--faces", str(tmp_path / "faces.npy")]
+    ) == 0
+    import os
+    assert os.path.getsize(str(tmp_path / "v" / "seq.mp4")) > 0

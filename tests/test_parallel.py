@@ -48,3 +48,11 @@ def test_sharded_generate_matches_single_device():
     )
     # result really is distributed over 8 devices
     assert len(sharded.sharding.device_set) == 8
+
+
+def test_initialize_distributed_single_process_noop():
+    from fdm_tpu.parallel import initialize_distributed, local_batch_slice
+
+    assert initialize_distributed() == 0
+    # single process feeds the whole global batch
+    assert local_batch_slice(8) == slice(0, 8)

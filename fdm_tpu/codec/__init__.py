@@ -1,8 +1,16 @@
-from fdm_tpu.codec.quantizer import QuantizerOutput, quantize, codebook_lookup
+from fdm_tpu.codec.quantizer import (
+    QuantizerOutput,
+    codebook_lookup,
+    get_distances,
+    quantize,
+    sample_logits,
+)
 from fdm_tpu.codec.vqvae import VQAutoEncoder, tokens_to_frames, frames_to_tokens
 
 __all__ = [
     "QuantizerOutput",
+    "get_distances",
+    "sample_logits",
     "quantize",
     "codebook_lookup",
     "VQAutoEncoder",

@@ -356,6 +356,38 @@ class VQAutoEncoder(nn.Module):
         z_q = quant_lib.codebook_lookup(self.codebook, global_indices)
         return self.decoder(z_q, frame_mask)
 
+    # ---- token-level interface (reference models/vq_vae.py:56-130) ----
+
+    def get_quant(self, motion, one_hot=None):
+        """(quantized latents, indices) — reference get_quant (vq_vae.py:64-68)."""
+        z = self.encode(motion, one_hot)
+        q = self.quant(z, one_hot)
+        return q.z_q, q.indices
+
+    def get_distances(self, motion, one_hot=None):
+        """Full codebook distances of the encoded motion (B, L, n_embed) —
+        reference get_distances (vq_vae.py:70-73); deliberately UNsliced by
+        emotion even for the partitioned codebook (quirk Q12)."""
+        z = self.encode(motion, one_hot)
+        return quant_lib.get_distances(self.codebook, z)
+
+    def get_quant_from_d(self, d, frame_mask=None):
+        """Distances -> argmin indices -> decoded motion — reference
+        get_quant_from_d (vq_vae.py:75-78)."""
+        indices = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        return self.decode_indices(indices, frame_mask)
+
+    def entry_to_feature(self, indices):
+        """Codebook rows for (global) indices — reference entry_to_feature
+        (vq_vae.py:80-87)."""
+        return quant_lib.codebook_lookup(self.codebook, indices)
+
+    def decode_logit(self, logits, frame_mask=None):
+        """Token logits (B, L, n_embed) -> top-1 indices -> motion —
+        reference decode_logit (vq_vae.py:99-108)."""
+        indices = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return self.decode_indices(indices, frame_mask)
+
     def __call__(self, x, template, one_hot=None, token_mask=None,
                  frame_mask=None):
         motion = x - template

@@ -159,3 +159,64 @@ def test_frame_mask_blocks_padding_leak():
         np.asarray(dec_masked[:, :T]), np.asarray(dec_exact),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_token_level_interface():
+    """get_quant / get_distances / get_quant_from_d / entry_to_feature /
+    decode_logit (reference models/vq_vae.py:56-130 surface)."""
+    cfg = tiny_config()
+    model = VQAutoEncoder(cfg)
+    B, T = 2, 6
+    motion = jax.random.normal(jax.random.PRNGKey(0), (B, T, cfg.in_dim)) * 0.1
+    params = model.init(
+        jax.random.PRNGKey(1), motion, jnp.zeros((B, 1, cfg.in_dim))
+    )
+    L = T * cfg.face_quan_num
+
+    z_q, indices = model.apply(params, motion, method="get_quant")
+    assert z_q.shape == (B, L, cfg.zquant_dim)
+    assert indices.shape == (B, L)
+
+    d = model.apply(params, motion, method="get_distances")
+    assert d.shape == (B, L, cfg.n_embed)
+    # argmin of the full distances == the quantizer's chosen indices
+    np.testing.assert_array_equal(np.asarray(d.argmin(-1)), np.asarray(indices))
+
+    recon_from_d = model.apply(params, d, method="get_quant_from_d")
+    recon_from_idx = model.apply(params, indices, method="decode_indices")
+    np.testing.assert_allclose(
+        np.asarray(recon_from_d), np.asarray(recon_from_idx), atol=1e-6
+    )
+
+    feats = model.apply(params, indices, method="entry_to_feature")
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(z_q), atol=1e-6)
+
+    logits = -d  # nearest entry gets the highest logit
+    recon_logit = model.apply(params, logits, method="decode_logit")
+    np.testing.assert_allclose(
+        np.asarray(recon_logit), np.asarray(recon_from_idx), atol=1e-6
+    )
+
+
+def test_sample_logits_nucleus():
+    from fdm_tpu.codec import sample_logits
+
+    rng_l = jax.random.PRNGKey(0)
+    logits = jnp.asarray(
+        np.random.RandomState(0).randn(2, 5, 16).astype(np.float32)
+    )
+    idx_top1, probs = sample_logits(logits, sample=False)
+    np.testing.assert_array_equal(
+        np.asarray(idx_top1), np.asarray(probs.argmax(-1))
+    )
+    idx_s, _ = sample_logits(logits, key=rng_l, sample=True, top_p=0.9)
+    assert idx_s.shape == (2, 5)
+    # sampled ids always fall inside the nucleus: prob >= nucleus cutoff
+    p = np.asarray(jax.nn.softmax(logits / 0.7, axis=-1))
+    chosen = np.take_along_axis(
+        p, np.asarray(idx_s)[..., None], axis=-1
+    )[..., 0]
+    assert (chosen > 0).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_logits(logits, sample=True)

@@ -151,3 +151,24 @@ def test_generate_no_emotion_variant():
         sampler="ddim",
     )
     assert out.shape == motion.shape
+
+
+def test_generate_is_deterministic_given_key():
+    """Same key, params, and inputs -> bit-identical generations (serving
+    reproducibility; the torch original's sampler draws from global RNG
+    state and cannot replay)."""
+    cfg = tiny_pipeline()
+    ld, vq_params, fdm_params, motion, template, audio, style, emo = (
+        init_pipeline(cfg)
+    )
+    key = jax.random.PRNGKey(11)
+    run = jax.jit(
+        lambda k: ld.generate(
+            vq_params, fdm_params, k, audio, template, style, emo,
+            sampler="ddim", num_steps=4,
+        )
+    )
+    a, b = run(key), run(key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = run(jax.random.PRNGKey(12))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))

@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--templates", default=None,
                         help="templates.pkl (per-subject) or template .npy; "
                              "needed for FDD")
+    parser.add_argument("--gt_is_flame_params", action="store_true",
+                        help="ground-truth .npy files are MEAD (T, 56) FLAME "
+                             "params; decode them to vertices first (the "
+                             "original decodes GT through FLAME on the fly)")
+    parser.add_argument("--flame_model", default=None,
+                        help="FLAME generic_model.pkl for GT decoding "
+                             "(synthetic stand-in if unset)")
     parser.add_argument("--json", dest="as_json", action="store_true",
                         help="print one JSON object instead of lines")
     return parser
@@ -120,6 +127,24 @@ def main(argv=None) -> int:
         m = _CONDITION_RE.match(stem)
         groups[m.group("stem") if m else stem].append(fname)
 
+    flame_decode = None
+    if args.gt_is_flame_params:
+        import jax
+
+        from fdm_tpu.cli.common import FlameDecoder, build_config
+
+        class _Args:
+            dataset, tiny, overrides, data_root, synthetic, seed = (
+                "mead", False, [], None, True, 0,
+            )
+
+        decoder = FlameDecoder(build_config(_Args()), args.flame_model)
+
+        def flame_decode(params):  # (T, P) -> (T, V*3)
+            import jax.numpy as jnp
+
+            return np.asarray(decoder(jnp.asarray(params)[None]))[0]
+
     results = {}
     if args.gt_path:
         acc = MetricAccumulator(regions, fdd_region=fdd_region)
@@ -129,6 +154,8 @@ def main(argv=None) -> int:
             if not os.path.exists(gt_file):
                 continue
             gt = np.load(gt_file).astype(np.float32)
+            if flame_decode is not None:
+                gt = flame_decode(gt)
             gt = gt.reshape(gt.shape[0], -1, 3)
             template = templates(stem) if templates else None
             if template is None and fdd_region is not None:

@@ -292,3 +292,37 @@ def test_train_resume_continues_from_checkpoint(workdir):
     ]
     # the resumed run continues past the first run's 16 steps
     assert max(steps) == 24, sorted(set(steps))[-5:]
+
+
+def test_metrics_with_flame_param_gt(workdir, capsys):
+    """--gt_is_flame_params decodes MEAD (T, 56) GT through FLAME before
+    comparison (reference metric/metric.py decodes GT on the fly)."""
+    import jax.numpy as jnp
+
+    from fdm_tpu.cli import metrics
+    from fdm_tpu.cli.common import FlameDecoder, build_config
+
+    class _A:
+        dataset, tiny, overrides, data_root, synthetic, seed = (
+            "mead", False, [], None, True, 0,
+        )
+
+    rng = np.random.RandomState(3)
+    params = rng.randn(6, 56).astype(np.float32) * 0.01
+    os.makedirs("fp_gt", exist_ok=True)
+    os.makedirs("fp_pred", exist_ok=True)
+    np.save("fp_gt/clip.npy", params)
+    # prediction = decoded GT + noise (uses the same synthetic FLAME model
+    # the CLI builds, seed-deterministic)
+    dec = FlameDecoder(build_config(_A()), None)
+    verts = np.asarray(dec(jnp.asarray(params)[None]))[0]
+    np.save("fp_pred/clip.npy",
+            verts + 0.001 * rng.randn(*verts.shape).astype(np.float32))
+    np.save("fp_lip.npy", np.arange(10))
+
+    assert metrics.main(
+        ["--pred_path", "fp_pred", "--gt_path", "fp_gt",
+         "--lip_region", "fp_lip.npy", "--gt_is_flame_params", "--json"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["lve"]) and out["lve"] < 1e-3

@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="EMA of params in the jitted step (0 = off)")
+    parser.add_argument("--save_ema", action="store_true",
+                        help="save the EMA weights as the final artifact")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="micro-batches per optimizer update")
     parser.add_argument("--profile", default=None, metavar="DIR",
@@ -162,14 +164,19 @@ def main(argv=None) -> int:
               f"recon={means.get('recon_loss', float('nan')):.5f} "
               f"steps/s={means['steps_per_sec']:.2f}")
 
+    final = (
+        trainer.state.ema_params
+        if args.save_ema and trainer.state.ema_params is not None
+        else trainer.state.params
+    )
     if args.train_audio_encoder:
         save_params(f"{out_dir}/{cfg.dataset.name}_fdm_params.msgpack",
-                    trainer.state.params["fdm"])
+                    final["fdm"])
         save_params(f"{out_dir}/{cfg.dataset.name}_audio_params.msgpack",
-                    trainer.state.params["audio"])
+                    final["audio"])
     else:
         save_params(f"{out_dir}/{cfg.dataset.name}_fdm_params.msgpack",
-                    trainer.state.params)
+                    final)
     logger.close()
     ckpt.close()
     return 0

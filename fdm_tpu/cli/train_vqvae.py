@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="EMA of params in the jitted step (0 = off)")
+    parser.add_argument("--save_ema", action="store_true",
+                        help="save the EMA weights as the final artifact")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="micro-batches per optimizer update")
     parser.add_argument("--profile", default=None, metavar="DIR",
@@ -121,8 +123,12 @@ def main(argv=None) -> int:
             print(f"epoch {epoch}: val_recon={val:.5f}")
             logger.log_epoch(epoch, {"val_recon": val})
 
-    save_params(f"{out_dir}/{cfg.dataset.name}_vqvae_params.msgpack",
-                trainer.state.params)
+    final = (
+        trainer.state.ema_params
+        if args.save_ema and trainer.state.ema_params is not None
+        else trainer.state.params
+    )
+    save_params(f"{out_dir}/{cfg.dataset.name}_vqvae_params.msgpack", final)
     logger.close()
     ckpt.close()
     return 0

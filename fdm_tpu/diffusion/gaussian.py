@@ -167,6 +167,7 @@ def ddim_sample(
     eta: float = 0.0,
     tail: str = "reference",
     dtype=jnp.float32,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """DDIM sampling as one `lax.scan` over (t, t_next) pairs.
 
@@ -216,5 +217,9 @@ def ddim_sample(
         x_next = (1.0 - is_last) * x_next + is_last * x_recon
         return x_next, None
 
-    x_final, _ = jax.lax.scan(body, x_init, (jnp.asarray(pairs), step_keys))
+    n_pairs = pairs.shape[0]
+    x_final, _ = jax.lax.scan(
+        body, x_init, (jnp.asarray(pairs), step_keys),
+        unroll=unroll if n_pairs % unroll == 0 else 1,
+    )
     return x_final

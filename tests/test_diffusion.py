@@ -180,3 +180,12 @@ def test_ddpm_unroll_is_numerically_identical():
     # non-dividing unroll falls back to 1 rather than erroring
     c = ddpm_sample(schedule, fn, (1, 6, 4), key, num_steps=20, unroll=3)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_ddim_unroll_is_numerically_identical():
+    schedule = make_schedule(100)
+    fn = lambda x, t: 0.9 * x
+    key = jax.random.PRNGKey(6)
+    a = ddim_sample(schedule, fn, (1, 4, 8), key, steps=8, unroll=1)
+    b = ddim_sample(schedule, fn, (1, 4, 8), key, steps=8, unroll=4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

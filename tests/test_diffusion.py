@@ -186,6 +186,8 @@ def test_ddim_unroll_is_numerically_identical():
     schedule = make_schedule(100)
     fn = lambda x, t: 0.9 * x
     key = jax.random.PRNGKey(6)
-    a = ddim_sample(schedule, fn, (1, 4, 8), key, steps=8, unroll=1)
-    b = ddim_sample(schedule, fn, (1, 4, 8), key, steps=8, unroll=4)
+    # steps=9 -> 8 scanned pairs under tail='reference', divisible by 4 so
+    # the unrolled path actually engages
+    a = ddim_sample(schedule, fn, (1, 4, 8), key, steps=9, unroll=1)
+    b = ddim_sample(schedule, fn, (1, 4, 8), key, steps=9, unroll=4)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -65,9 +65,12 @@ def main(argv=None) -> int:
         import os
 
         from fdm_tpu.audio.convert import convert_hf_audio_encoder
-        from fdm_tpu.audio.encoder import get_encoder_config
+        from fdm_tpu.audio.encoder import encoder_config_for, get_encoder_config
 
-        enc_cfg = get_encoder_config(args.encoder or cfg.fdm.audio_encoder)
+        enc_cfg = (
+            get_encoder_config(args.encoder)
+            if args.encoder else encoder_config_for(cfg.fdm)
+        )
         if os.path.isdir(args.checkpoint):
             import torch
 

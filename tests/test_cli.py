@@ -326,3 +326,42 @@ def test_metrics_with_flame_param_gt(workdir, capsys):
     ) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["lve"]) and out["lve"] < 1e-3
+
+
+def test_convert_weights_audio_hf_checkpoint(workdir):
+    """Converted HF audio weights drive the JAX encoder to the same outputs
+    as the torch model (the library path behind convert-weights --kind audio)."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    from fdm_tpu.audio import AudioEncoder
+    from fdm_tpu.audio.encoder import AudioEncoderConfig
+
+    torch.manual_seed(0)
+    hf_cfg = Wav2Vec2Config(
+        hidden_size=24, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=48, conv_dim=[16, 16, 16], conv_kernel=[10, 3, 2],
+        conv_stride=[5, 2, 2], conv_bias=False, feat_extract_norm="group",
+        do_stable_layer_norm=False, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, hidden_dropout=0.0,
+        attention_dropout=0.0, feat_proj_dropout=0.0, layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    hf = Wav2Vec2Model(hf_cfg).eval()
+    from fdm_tpu.audio.convert import convert_hf_audio_encoder
+
+    enc_cfg = AudioEncoderConfig(
+        hidden_size=24, num_layers=2, num_heads=4, intermediate_size=48,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+    )
+    params = convert_hf_audio_encoder(hf.state_dict(), enc_cfg)
+
+    wav = np.random.RandomState(1).randn(1, 3200).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(wav)).last_hidden_state.numpy()
+    got = AudioEncoder(enc_cfg).apply(
+        params, jnp.asarray(wav), even_trim=False
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)

@@ -28,6 +28,15 @@ from fdm_tpu.diffusion.schedule import DiffusionSchedule, extract
 DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def _effective_unroll(n_iters: int, unroll: int) -> int:
+    """Largest divisor of n_iters not exceeding the requested unroll (scan
+    requires the length to divide; fall toward 1 gracefully)."""
+    u = max(1, min(unroll, n_iters))
+    while n_iters % u:
+        u -= 1
+    return u
+
+
 def q_sample(
     schedule: DiffusionSchedule,
     x_start: jnp.ndarray,
@@ -144,7 +153,7 @@ def ddpm_sample(
     # measured on v5e at 1000 steps); numerically identical
     x_final, _ = jax.lax.scan(
         body, x_init, (timesteps, step_keys),
-        unroll=unroll if num_steps % unroll == 0 else 1,
+        unroll=_effective_unroll(num_steps, unroll),
     )
     return x_final
 
@@ -217,9 +226,8 @@ def ddim_sample(
         x_next = (1.0 - is_last) * x_next + is_last * x_recon
         return x_next, None
 
-    n_pairs = pairs.shape[0]
     x_final, _ = jax.lax.scan(
         body, x_init, (jnp.asarray(pairs), step_keys),
-        unroll=unroll if n_pairs % unroll == 0 else 1,
+        unroll=_effective_unroll(pairs.shape[0], unroll),
     )
     return x_final

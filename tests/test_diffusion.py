@@ -191,3 +191,13 @@ def test_ddim_unroll_is_numerically_identical():
     a = ddim_sample(schedule, fn, (1, 4, 8), key, steps=9, unroll=1)
     b = ddim_sample(schedule, fn, (1, 4, 8), key, steps=9, unroll=4)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_effective_unroll_picks_largest_divisor():
+    from fdm_tpu.diffusion.gaussian import _effective_unroll
+
+    assert _effective_unroll(1000, 4) == 4
+    assert _effective_unroll(49, 4) == 1   # 49 = 7*7; no divisor <= 4 but 1
+    assert _effective_unroll(50, 4) == 2
+    assert _effective_unroll(99, 4) == 3
+    assert _effective_unroll(3, 8) == 3

@@ -177,7 +177,7 @@ def test_ddpm_unroll_is_numerically_identical():
     a = ddpm_sample(schedule, fn, (1, 6, 4), key, num_steps=20, unroll=1)
     b = ddpm_sample(schedule, fn, (1, 6, 4), key, num_steps=20, unroll=4)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # non-dividing unroll falls back to 1 rather than erroring
+    # non-dividing unroll falls to the largest divisor rather than erroring
     c = ddpm_sample(schedule, fn, (1, 6, 4), key, num_steps=20, unroll=3)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 

@@ -56,3 +56,12 @@ def test_initialize_distributed_single_process_noop():
     assert initialize_distributed() == 0
     # single process feeds the whole global batch
     assert local_batch_slice(8) == slice(0, 8)
+
+
+def test_choose_mesh_follows_batch_divisibility(capsys):
+    from fdm_tpu.cli.common import choose_mesh
+
+    mesh = choose_mesh(8)   # 8 devices visible in tests
+    assert mesh is not None and mesh.devices.size == 8
+    assert choose_mesh(3) is None  # not divisible -> single-device note
+    assert "not divisible" in capsys.readouterr().out

@@ -233,3 +233,19 @@ def test_stage2_e2e_trains_audio_encoder_with_frozen_conv():
             jax.tree_util.tree_leaves(new_state.params["fdm"]),
         )
     )
+
+
+def test_trainer_profiling_writes_trace(tmp_path):
+    cfg = tiny_pipeline()
+    ld, vq_params, *_ = init_pipeline(cfg)
+    tx = default_optimizer()
+    state = create_train_state(vq_params, tx)
+    step = make_stage1_step(ld, tx)
+    trainer = Trainer(
+        step, state, profile_dir=str(tmp_path / "prof"), profile_steps=(1, 2)
+    )
+    batches = [_stage1_batch(cfg, seed=s) for s in range(3)]
+    trainer.run_epoch(iter(batches), epoch=1)
+    import glob
+
+    assert glob.glob(str(tmp_path / "prof" / "**" / "*"), recursive=True)

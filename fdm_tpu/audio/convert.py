@@ -103,4 +103,12 @@ def convert_hf_audio_encoder(
         "enc_ln": ln("encoder.layer_norm"),
         **layers,
     }
+    if cfg.apply_spec_augment and cfg.mask_time_prob > 0:
+        if "masked_spec_embed" in sd:
+            tree["masked_spec_embed"] = sd["masked_spec_embed"]
+        else:
+            # older exports may lack it; match HF's uniform_[0,1) init
+            tree["masked_spec_embed"] = np.random.default_rng(0).uniform(
+                size=(cfg.hidden_size,)
+            ).astype(np.float32)
     return {"params": tree}

@@ -45,6 +45,14 @@ class AudioEncoderConfig:
     feat_proj_dropout: float = 0.0
     hidden_dropout: float = 0.1
     activation: str = "gelu"
+    # SpecAugment (training-time span masking, reference models/wav2vec.py:
+    # 109-127 / models/hubert.py:112-130); probs per the HF checkpoints the
+    # reference loads
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_feature_prob: float = 0.0
+    mask_feature_length: int = 10
 
 
 def wav2vec2_base_config() -> AudioEncoderConfig:
@@ -210,6 +218,14 @@ class AudioEncoder(nn.Module):
             EncoderLayer(cfg, self.dtype, name=f"layer_{i}")
             for i in range(cfg.num_layers)
         ]
+        if cfg.apply_spec_augment and cfg.mask_time_prob > 0:
+            # HF: FloatTensor(hidden).uniform_() — learned replacement for
+            # time-masked frames (reference models/hubert.py:122)
+            self.masked_spec_embed = self.param(
+                "masked_spec_embed",
+                nn.initializers.uniform(scale=1.0),
+                (cfg.hidden_size,),
+            )
 
     def extract_features(self, wav: jnp.ndarray) -> jnp.ndarray:
         """(B, S) waveform -> (B, N, conv_dim[-1]) conv features (frozen in
@@ -220,15 +236,25 @@ class AudioEncoder(nn.Module):
         self,
         features: jnp.ndarray,
         time_mask: Optional[jnp.ndarray] = None,
-        mask_embedding: Optional[jnp.ndarray] = None,
+        feature_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Conv features -> transformer hidden states. `time_mask` (B, N)
-        optionally replaces masked frames with `mask_embedding`
-        (SpecAugment-style, reference models/hubert.py:112-122)."""
+        """Conv features -> transformer hidden states.
+
+        `time_mask` (B, N) replaces masked frames with the learned
+        `masked_spec_embed`; `feature_mask` (B, hidden) zeroes masked
+        channels across all frames (SpecAugment, reference
+        models/hubert.py:112-130). Both are drawn by
+        fdm_tpu.audio.specaugment.sample_masks during training."""
         x = self.fp_ln(features)
         x = self.fp_proj(x)
-        if time_mask is not None and mask_embedding is not None:
-            x = jnp.where(time_mask[..., None], mask_embedding, x)
+        if time_mask is not None:
+            x = jnp.where(
+                time_mask[..., None],
+                self.masked_spec_embed.astype(x.dtype),
+                x,
+            )
+        if feature_mask is not None:
+            x = jnp.where(feature_mask[:, None, :], 0.0, x)
         x = x + self.pos_conv(x)
         if not self.config.do_stable_layer_norm:
             x = self.enc_ln(x)
@@ -238,8 +264,33 @@ class AudioEncoder(nn.Module):
             x = self.enc_ln(x)
         return x
 
-    def __call__(self, wav: jnp.ndarray, even_trim: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        wav: jnp.ndarray,
+        even_trim: bool = True,
+        specaugment_key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Waveform -> hidden states. Passing `specaugment_key` enables
+        training-time SpecAugment masking — the JAX equivalent of the
+        reference's `self.training` branch (models/hubert.py:112)."""
         feats = self.extract_features(wav)
         if even_trim and feats.shape[1] % 2 != 0:
             feats = feats[:, :-1]
-        return self.encode_features(feats)
+        time_mask = feature_mask = None
+        cfg = self.config
+        if specaugment_key is not None and cfg.apply_spec_augment:
+            from fdm_tpu.audio.specaugment import (
+                SpecAugmentConfig, sample_masks,
+            )
+
+            time_mask, feature_mask = sample_masks(
+                specaugment_key, feats.shape[0], feats.shape[1],
+                cfg.hidden_size,
+                SpecAugmentConfig(
+                    mask_time_prob=cfg.mask_time_prob,
+                    mask_time_length=cfg.mask_time_length,
+                    mask_feature_prob=cfg.mask_feature_prob,
+                    mask_feature_length=cfg.mask_feature_length,
+                ),
+            )
+        return self.encode_features(feats, time_mask, feature_mask)

@@ -75,19 +75,25 @@ class LatentDiffusion:
         )
 
     def encode_audio(self, audio_params, wav: jnp.ndarray,
-                     num_frames: int) -> jnp.ndarray:
+                     num_frames: int,
+                     specaugment_key: Optional[jax.Array] = None
+                     ) -> jnp.ndarray:
         """Raw waveform (B, S) -> frame-aligned hidden states
         (B, num_frames, audio_dim*pair) through the in-pipeline encoder —
         jittable, so it can live INSIDE the train step when the encoder is
         trained jointly (reference quirk Q10: stage 2 fine-tunes the
         HuBERT/wav2vec2 transformer; only the conv extractor is frozen,
-        reference models/fdm_vqvae_mead.py:19)."""
+        reference models/fdm_vqvae_mead.py:19). `specaugment_key` enables
+        training-time SpecAugment masking (reference models/hubert.py:112)."""
         from fdm_tpu.audio import linear_interpolate_frames, pair_frames
 
         if self.audio_encoder is None:
             raise ValueError("pipeline built without with_audio_encoder=True")
         fdm = self.config.fdm
-        hidden = self.audio_encoder.apply(audio_params, wav, even_trim=False)
+        hidden = self.audio_encoder.apply(
+            audio_params, wav, even_trim=False,
+            specaugment_key=specaugment_key,
+        )
         if fdm.audio_interp_fps:
             hidden = linear_interpolate_frames(
                 hidden, 50, fdm.audio_interp_fps, output_len=num_frames
@@ -246,9 +252,14 @@ class LatentDiffusion:
         stage-2 regime (quirk Q10; reference train/train_diffusion_mead.py
         optimizes diffusion.parameters() which includes HuBERT). Freeze the
         conv extractor by masking its optimizer updates
-        (fdm_tpu.train.freeze_audio_conv_mask)."""
+        (fdm_tpu.train.freeze_audio_conv_mask). SpecAugment time-masking is
+        applied like the reference's `self.training` branch
+        (models/hubert.py:112-122)."""
         T = motion.shape[1]
-        audio_hidden = self.encode_audio(params["audio"], audio_wav, T)
+        sa_key, key = jax.random.split(key)
+        audio_hidden = self.encode_audio(
+            params["audio"], audio_wav, T, specaugment_key=sa_key
+        )
         return self.stage2_train_loss(
             vq_params, params["fdm"], key, motion, template, audio_hidden,
             style_one_hot, emotion_one_hot, frame_mask,

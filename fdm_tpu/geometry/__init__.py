@@ -5,6 +5,9 @@ from fdm_tpu.geometry.flame import (
     batch_rodrigues,
     lbs,
     flame_forward,
+    find_dynamic_lmk_idx_and_bcoords,
+    neck_kin_chain,
+    rot_mat_to_euler,
     params_to_vertices,
     vertices_to_landmarks,
 )
@@ -16,6 +19,9 @@ __all__ = [
     "batch_rodrigues",
     "lbs",
     "flame_forward",
+    "find_dynamic_lmk_idx_and_bcoords",
+    "neck_kin_chain",
+    "rot_mat_to_euler",
     "params_to_vertices",
     "vertices_to_landmarks",
 ]

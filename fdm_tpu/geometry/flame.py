@@ -38,6 +38,11 @@ class FlameModel(NamedTuple):
     faces: Optional[np.ndarray] = None           # (F, 3) int
     lmk_faces_idx: Optional[np.ndarray] = None   # (L,) int static landmarks
     lmk_bary_coords: Optional[np.ndarray] = None  # (L, 3)
+    # dynamic (pose-dependent) face-contour embedding: one row per head-yaw
+    # bucket (79 buckets: 0..39 deg, then -1..-39 deg), reference
+    # FLAME_PyTorch/FLAME.py:135-158
+    dynamic_lmk_faces_idx: Optional[np.ndarray] = None    # (79, C) int
+    dynamic_lmk_bary_coords: Optional[np.ndarray] = None  # (79, C, 3)
 
     @property
     def num_vertices(self) -> int:
@@ -51,10 +56,12 @@ class FlameModel(NamedTuple):
 def load_flame_model(
     model_path: str,
     static_landmark_path: Optional[str] = None,
+    dynamic_landmark_path: Optional[str] = None,
 ) -> FlameModel:
     """Load a FLAME pickle (generic_model.pkl layout: v_template, shapedirs,
     posedirs, J_regressor, kintree_table, weights, f) the same way the
-    reference does (FLAME_PyTorch/FLAME.py:44-120)."""
+    reference does (FLAME_PyTorch/FLAME.py:44-158); optionally also the
+    static and dynamic (contour) landmark embeddings."""
     with open(model_path, "rb") as f:
         data = pickle.load(f, encoding="latin1")
     get = lambda k: _to_np(data[k] if isinstance(data, dict) else getattr(data, k))
@@ -80,6 +87,15 @@ def load_flame_model(
         lmk_idx = eget("lmk_face_idx").astype(np.int64)
         lmk_bary = eget("lmk_b_coords").astype(np.float32)
 
+    dyn_idx = dyn_bary = None
+    if dynamic_landmark_path is not None:
+        # reference FLAME.py:136-150: a pickled dict inside an .npy
+        contour = np.load(
+            dynamic_landmark_path, allow_pickle=True, encoding="latin1"
+        )[()]
+        dyn_idx = np.array(contour["lmk_face_idx"]).astype(np.int64)
+        dyn_bary = np.stack(contour["lmk_b_coords"]).astype(np.float32)
+
     return FlameModel(
         v_template=jnp.asarray(get("v_template"), jnp.float32),
         shapedirs=jnp.asarray(get("shapedirs"), jnp.float32),
@@ -90,6 +106,8 @@ def load_flame_model(
         faces=get("f").astype(np.int64) if _has(data, "f") else None,
         lmk_faces_idx=lmk_idx,
         lmk_bary_coords=lmk_bary,
+        dynamic_lmk_faces_idx=dyn_idx,
+        dynamic_lmk_bary_coords=dyn_bary,
     )
 
 
@@ -130,7 +148,16 @@ def synthetic_flame_model(
         ),
         lmk_faces_idx=np.arange(min(8, V - 2), dtype=np.int64),
         lmk_bary_coords=np.full((min(8, V - 2), 3), 1.0 / 3.0, np.float32),
+        dynamic_lmk_faces_idx=rng.randint(
+            0, V - 2, size=(79, 17)
+        ).astype(np.int64),
+        dynamic_lmk_bary_coords=_random_barycentric(rng, (79, 17)),
     )
+
+
+def _random_barycentric(rng, shape) -> np.ndarray:
+    b = rng.rand(*shape, 3).astype(np.float32)
+    return b / b.sum(axis=-1, keepdims=True)
 
 
 def batch_rodrigues(rot_vecs: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
@@ -219,6 +246,60 @@ def lbs(
     return verts, posed_joints
 
 
+def neck_kin_chain(parents: np.ndarray, neck_idx: int = 1) -> np.ndarray:
+    """Ancestor chain from the neck joint to the root (reference
+    FLAME.py:152-158): [neck, parent(neck), ...] — [1, 0] for FLAME."""
+    chain = []
+    cur = neck_idx
+    while cur != -1:
+        chain.append(cur)
+        cur = int(parents[cur])
+    return np.asarray(chain, dtype=np.int64)
+
+
+def rot_mat_to_euler(rot_mats: jnp.ndarray) -> jnp.ndarray:
+    """Y-axis euler angle from rotation matrices (smplx.utils.rot_mat_to_euler
+    as consumed by reference FLAME.py:190)."""
+    sy = jnp.sqrt(
+        rot_mats[..., 0, 0] ** 2 + rot_mats[..., 1, 0] ** 2
+    )
+    return jnp.arctan2(-rot_mats[..., 2, 0], sy)
+
+
+def find_dynamic_lmk_idx_and_bcoords(
+    model: FlameModel,
+    full_pose: jnp.ndarray,   # (B, J*3) axis-angle
+    neck_idx: int = 1,
+):
+    """Select the contour-landmark embedding row for each example's head yaw
+    (reference FLAME_PyTorch/FLAME.py:160-204 _find_dynamic_lmk_idx_and_
+    bcoords, batch-modified smplx). Pure gather/arith — jittable.
+
+    Returns (dyn_lmk_faces_idx (B, C) int, dyn_lmk_bary_coords (B, C, 3))."""
+    chain = neck_kin_chain(model.parents, neck_idx)
+    B = full_pose.shape[0]
+    aa_pose = full_pose.reshape(B, -1, 3)[:, chain]        # (B, K, 3)
+    rot_mats = batch_rodrigues(aa_pose)                     # (B, K, 3, 3)
+
+    # rel = rot[K-1] @ ... @ rot[0] (reference's bmm loop, FLAME.py:185-187)
+    rel = jnp.broadcast_to(jnp.eye(3, dtype=full_pose.dtype), (B, 3, 3))
+    for k in range(len(chain)):
+        rel = rot_mats[:, k] @ rel
+
+    # yaw bucket: rows 0..39 = 0..+39 deg, rows 40..78 = -1..-39 deg
+    y_rot_angle = jnp.round(
+        jnp.clip(-rot_mat_to_euler(rel) * 180.0 / jnp.pi, max=39)
+    ).astype(jnp.int32)
+    neg_mask = (y_rot_angle < 0).astype(jnp.int32)
+    big_neg = (y_rot_angle < -39).astype(jnp.int32)
+    neg_vals = big_neg * 78 + (1 - big_neg) * (39 - y_rot_angle)
+    y_rot_angle = neg_mask * neg_vals + (1 - neg_mask) * y_rot_angle
+
+    dyn_idx = jnp.asarray(model.dynamic_lmk_faces_idx)[y_rot_angle]
+    dyn_bary = jnp.asarray(model.dynamic_lmk_bary_coords)[y_rot_angle]
+    return dyn_idx, dyn_bary
+
+
 def flame_forward(
     model: FlameModel,
     shape_params: jnp.ndarray,       # (B, n_shape_used)
@@ -229,10 +310,17 @@ def flame_forward(
     transl: Optional[jnp.ndarray] = None,
     n_shape_total: int = 300,
     n_expr_total: int = 100,
+    return_landmarks: bool = False,
+    use_face_contour: bool = True,
 ):
     """Reference FLAME.forward semantics (FLAME.py:204-249): pad shape betas
     to 300 and expression to 100, assemble full pose
-    [global, neck, jaw, eyes], run LBS, add optional translation."""
+    [global, neck, jaw, eyes], run LBS, add optional translation.
+
+    With ``return_landmarks=True`` returns ``(vertices, landmarks)`` like the
+    reference — dynamic contour landmarks (pose-dependent, FLAME.py:234-240)
+    prepended to the static 51 when the model carries a contour embedding and
+    ``use_face_contour`` is set."""
     B = shape_params.shape[0]
     z = lambda n: jnp.zeros((B, n), shape_params.dtype)
     betas = jnp.concatenate(
@@ -248,9 +336,37 @@ def flame_forward(
         [pose_params[:, :3], neck, pose_params[:, 3:], eyes], axis=1
     )
     verts, _ = lbs(model, betas, full_pose)
+    if not return_landmarks:
+        if transl is not None:
+            verts = verts + transl[:, None, :]
+        return verts
+
+    if model.lmk_faces_idx is None or model.faces is None:
+        raise ValueError(
+            "return_landmarks=True needs a model with faces + static "
+            "landmark embedding (load_flame_model(static_landmark_path=...))"
+        )
+    lmk_idx = jnp.broadcast_to(
+        jnp.asarray(model.lmk_faces_idx)[None],
+        (B, len(model.lmk_faces_idx)),
+    )
+    lmk_bary = jnp.broadcast_to(
+        jnp.asarray(model.lmk_bary_coords)[None],
+        (B, *np.shape(model.lmk_bary_coords)),
+    )
+    if use_face_contour and model.dynamic_lmk_faces_idx is not None:
+        dyn_idx, dyn_bary = find_dynamic_lmk_idx_and_bcoords(
+            model, full_pose
+        )
+        lmk_idx = jnp.concatenate([dyn_idx, lmk_idx], axis=1)
+        lmk_bary = jnp.concatenate([dyn_bary, lmk_bary], axis=1)
+    landmarks = vertices_to_landmarks(
+        verts, model.faces, lmk_idx, lmk_bary
+    )
     if transl is not None:
         verts = verts + transl[:, None, :]
-    return verts
+        landmarks = landmarks + transl[:, None, :]
+    return verts, landmarks
 
 
 def params_to_vertices(
@@ -279,14 +395,20 @@ def params_to_vertices(
 def vertices_to_landmarks(
     vertices: jnp.ndarray,   # (B, V, 3)
     faces: np.ndarray,       # (F, 3)
-    lmk_faces_idx: np.ndarray,   # (L,)
-    lmk_bary_coords: np.ndarray,  # (L, 3)
+    lmk_faces_idx: np.ndarray,   # (L,) shared or (B, L) per-example
+    lmk_bary_coords: np.ndarray,  # (L, 3) or (B, L, 3)
 ) -> jnp.ndarray:
     """Barycentric landmark extraction (smplx vertices2landmarks equivalent,
-    used by reference FLAME.py:241-243)."""
-    lmk_faces = jnp.asarray(faces)[jnp.asarray(lmk_faces_idx)]  # (L, 3)
-    lmk_verts = vertices[:, lmk_faces]                          # (B, L, 3, 3)
-    return jnp.einsum("blvc,lv->blc", lmk_verts, jnp.asarray(lmk_bary_coords))
+    used by reference FLAME.py:241-243). Accepts per-example landmark faces
+    for the dynamic contour path."""
+    lmk_faces_idx = jnp.asarray(lmk_faces_idx)
+    lmk_bary_coords = jnp.asarray(lmk_bary_coords)
+    lmk_faces = jnp.asarray(faces)[lmk_faces_idx]  # (..., L, 3)
+    if lmk_faces_idx.ndim == 1:
+        lmk_verts = vertices[:, lmk_faces]                      # (B, L, 3, 3)
+        return jnp.einsum("blvc,lv->blc", lmk_verts, lmk_bary_coords)
+    lmk_verts = jax.vmap(lambda v, f: v[f])(vertices, lmk_faces)
+    return jnp.einsum("blvc,blv->blc", lmk_verts, lmk_bary_coords)
 
 
 def _to_np(x):

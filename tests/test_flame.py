@@ -130,3 +130,133 @@ def test_landmark_extraction():
     f0 = model.faces[model.lmk_faces_idx[0]]
     expected = np.asarray(model.v_template)[f0].mean(axis=0)
     np.testing.assert_allclose(lmk[0, 0], expected, rtol=1e-5)
+
+
+# ---------------- dynamic contour landmarks ----------------
+# Oracle: independent numpy/scipy replica of reference
+# FLAME_PyTorch/FLAME.py:160-204 (_find_dynamic_lmk_idx_and_bcoords).
+
+def _oracle_bucket(full_pose_row, parents):
+    aa = np.asarray(full_pose_row).reshape(-1, 3)
+    chain = [1, 0]  # neck, then its parent (root)
+    rel = np.eye(3)
+    for j in chain:
+        rel = Rotation.from_rotvec(aa[j]).as_matrix() @ rel
+    sy = np.sqrt(rel[0, 0] ** 2 + rel[1, 0] ** 2)
+    euler_y = np.arctan2(-rel[2, 0], sy)
+    y = int(np.round(min(-euler_y * 180.0 / np.pi, 39.0)))
+    if y < -39:
+        return 78
+    if y < 0:
+        return 39 - y
+    return y
+
+
+def test_rot_mat_to_euler_pure_yaw():
+    from fdm_tpu.geometry import rot_mat_to_euler
+
+    for deg in (-50, -10, 0, 15, 45):
+        th = np.deg2rad(deg)
+        R = Rotation.from_euler("y", th).as_matrix()
+        got = float(rot_mat_to_euler(jnp.asarray(R[None]))[0])
+        np.testing.assert_allclose(got, th, atol=1e-6)
+
+
+def test_dynamic_bucket_selection_sweep():
+    """Row selection matches the reference formula across a head-yaw sweep,
+    including neck+global composition and the clamping branches."""
+    from fdm_tpu.geometry import find_dynamic_lmk_idx_and_bcoords
+
+    model = synthetic_flame_model()
+    J = model.num_joints
+    rng = np.random.RandomState(0)
+    poses = []
+    for deg in (-60, -39, -20, -1, 0, 1, 17, 39, 60):
+        p = np.zeros((J, 3))
+        p[0] = Rotation.from_euler("y", np.deg2rad(deg)).as_rotvec()
+        p[1] = rng.randn(3) * 0.1  # non-trivial neck pose composes in
+        poses.append(p.reshape(-1))
+    full_pose = jnp.asarray(np.stack(poses), jnp.float32)
+
+    dyn_idx, dyn_bary = find_dynamic_lmk_idx_and_bcoords(model, full_pose)
+    assert dyn_idx.shape == (len(poses), 17)
+    assert dyn_bary.shape == (len(poses), 17, 3)
+    for i, p in enumerate(poses):
+        b = _oracle_bucket(p, model.parents)
+        np.testing.assert_array_equal(
+            np.asarray(dyn_idx[i]), model.dynamic_lmk_faces_idx[b]
+        )
+        np.testing.assert_allclose(
+            np.asarray(dyn_bary[i]), model.dynamic_lmk_bary_coords[b],
+            rtol=1e-6,
+        )
+
+
+def test_flame_forward_returns_vertices_and_landmarks():
+    """Reference forward contract: (vertices, landmarks) with 17 contour +
+    static landmarks, pose-dependent contour, translation applied to both."""
+    model = synthetic_flame_model()
+    B = 2
+    shape = jnp.zeros((B, 100))
+    expr = jnp.zeros((B, 50))
+    yaw = Rotation.from_euler("y", np.deg2rad(-25)).as_rotvec()
+    pose = jnp.asarray(
+        np.stack([np.zeros(6), np.concatenate([yaw, np.zeros(3)])]),
+        jnp.float32,
+    )
+    n_static = len(model.lmk_faces_idx)
+
+    verts, lmk = flame_forward(
+        model, shape, expr, pose, return_landmarks=True
+    )
+    assert verts.shape == (B, model.num_vertices, 3)
+    assert lmk.shape == (B, 17 + n_static, 3)
+
+    # contour rows differ between yaw=0 and yaw=-25 (different buckets)...
+    assert not np.allclose(np.asarray(lmk[0, :17]), np.asarray(lmk[1, :17]))
+    # ...and the zero-pose contour equals bucket-0 barycentric extraction
+    dyn0 = vertices_to_landmarks(
+        verts[:1], model.faces, model.dynamic_lmk_faces_idx[0],
+        model.dynamic_lmk_bary_coords[0],
+    )
+    np.testing.assert_allclose(
+        np.asarray(lmk[0, :17]), np.asarray(dyn0[0]), rtol=1e-5
+    )
+
+    # use_face_contour=False -> static only (reference config flag)
+    _, lmk_s = flame_forward(
+        model, shape, expr, pose, return_landmarks=True,
+        use_face_contour=False,
+    )
+    assert lmk_s.shape == (B, n_static, 3)
+    np.testing.assert_allclose(
+        np.asarray(lmk[:, 17:]), np.asarray(lmk_s), rtol=1e-6
+    )
+
+    # translation shifts vertices and landmarks together
+    t = jnp.asarray([[0.1, -0.2, 0.3]] * B)
+    v_t, l_t = flame_forward(
+        model, shape, expr, pose, transl=t, return_landmarks=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_t), np.asarray(verts + t[:, None]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_t), np.asarray(lmk + t[:, None]), rtol=1e-5
+    )
+
+
+def test_dynamic_landmarks_jittable():
+    model = synthetic_flame_model()
+    B = 3
+    fwd = jax.jit(
+        lambda s, e, p: flame_forward(
+            model, s, e, p, return_landmarks=True
+        )
+    )
+    verts, lmk = fwd(
+        jnp.zeros((B, 100)), jnp.zeros((B, 50)),
+        jax.random.normal(jax.random.PRNGKey(0), (B, 6)) * 0.3,
+    )
+    assert np.isfinite(np.asarray(lmk)).all()
+    assert lmk.shape[1] == 17 + len(model.lmk_faces_idx)

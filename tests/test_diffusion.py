@@ -186,18 +186,32 @@ def test_ddim_unroll_is_numerically_identical():
     schedule = make_schedule(100)
     fn = lambda x, t: 0.9 * x
     key = jax.random.PRNGKey(6)
-    # steps=9 -> 8 scanned pairs under tail='reference', divisible by 4 so
-    # the unrolled path actually engages
-    a = ddim_sample(schedule, fn, (1, 4, 8), key, steps=9, unroll=1)
-    b = ddim_sample(schedule, fn, (1, 4, 8), key, steps=9, unroll=4)
+    # steps=9 -> 8 scanned pairs (divisible) AND the reference headline
+    # configs steps=50/100 -> 49/99 pairs (indivisible: remainder path)
+    for steps in (9, 50, 100):
+        a = ddim_sample(schedule, fn, (1, 4, 8), key, steps=steps, unroll=1)
+        b = ddim_sample(schedule, fn, (1, 4, 8), key, steps=steps, unroll=4)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ddpm_unroll_remainder_is_numerically_identical():
+    schedule = make_schedule(100)
+    fn = lambda x, t: 0.9 * x
+    key = jax.random.PRNGKey(7)
+    # 23 steps: 23 = 5*4 + 3 -> quotient scan + inline remainder
+    a = ddpm_sample(schedule, fn, (1, 4, 8), key, num_steps=23, unroll=1)
+    b = ddpm_sample(schedule, fn, (1, 4, 8), key, num_steps=23, unroll=4)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_effective_unroll_picks_largest_divisor():
-    from fdm_tpu.diffusion.gaussian import _effective_unroll
+def test_scan_with_remainder_applies_body_in_order():
+    from fdm_tpu.diffusion.gaussian import _scan_with_remainder
 
-    assert _effective_unroll(1000, 4) == 4
-    assert _effective_unroll(49, 4) == 1   # 49 = 7*7; no divisor <= 4 but 1
-    assert _effective_unroll(50, 4) == 2
-    assert _effective_unroll(99, 4) == 3
-    assert _effective_unroll(3, 8) == 3
+    xs = jnp.arange(49, dtype=jnp.float32)
+    body = lambda c, x: (c * 1.01 + x, None)
+    expect = 0.0
+    for v in np.arange(49, dtype=np.float32):
+        expect = expect * 1.01 + v
+    for unroll in (1, 4, 8, 49, 64):
+        got = _scan_with_remainder(body, jnp.float32(0.0), xs, 49, unroll)
+        np.testing.assert_allclose(float(got), expect, rtol=1e-6)

@@ -76,16 +76,26 @@ def get_encoder_config(name: str) -> AudioEncoderConfig:
     raise ValueError(f"unknown audio encoder {name!r}")
 
 
-def encoder_config_for(fdm_cfg) -> AudioEncoderConfig:
+def encoder_config_for(fdm_cfg, allow_tiny: bool = False) -> AudioEncoderConfig:
     """Encoder config matching an FDMConfig: the named full-size encoder
-    when its hidden size agrees with fdm.audio_dim, else a small 2-layer
-    stand-in of the right width (tiny/smoke configs)."""
+    when its hidden size agrees with fdm.audio_dim; otherwise a small
+    2-layer stand-in of the right width, but ONLY when `allow_tiny=True`
+    (set by --tiny/synthetic smoke paths). A full-size run with a
+    misconfigured audio_dim must fail loudly instead of silently training
+    against a toy encoder (round-1 VERDICT weak item 4)."""
     try:
         cfg = get_encoder_config(fdm_cfg.audio_encoder)
         if cfg.hidden_size == fdm_cfg.audio_dim:
             return cfg
     except ValueError:
         pass
+    if not allow_tiny:
+        raise ValueError(
+            f"fdm.audio_dim={fdm_cfg.audio_dim} matches no named encoder "
+            f"(audio_encoder={fdm_cfg.audio_encoder!r}); pass "
+            f"allow_tiny=True (CLI: --tiny/--synthetic) to build a 2-layer "
+            f"stand-in for smoke tests"
+        )
     return AudioEncoderConfig(
         hidden_size=fdm_cfg.audio_dim, num_layers=2,
         num_heads=max(1, fdm_cfg.audio_dim // 8),

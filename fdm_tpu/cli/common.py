@@ -120,7 +120,8 @@ def build_config(args) -> PipelineConfig:
     return get_config(args.dataset, **overrides)
 
 
-def make_pipeline(cfg: PipelineConfig, with_audio_encoder: bool = False):
+def make_pipeline(cfg: PipelineConfig, with_audio_encoder: bool = False,
+                  allow_tiny_audio_encoder: bool = False):
     """LatentDiffusion honoring cfg.train.compute_dtype (bf16 for speed,
     fp32 for parity evals — SURVEY.md §7.3 float-semantics note) and
     cfg.train.use_pallas (fused-attention denoiser)."""
@@ -133,6 +134,7 @@ def make_pipeline(cfg: PipelineConfig, with_audio_encoder: bool = False):
         cfg, dtype=dtype,
         self_attn_mode="fused" if cfg.train.use_pallas else "table",
         with_audio_encoder=with_audio_encoder,
+        allow_tiny_audio_encoder=allow_tiny_audio_encoder,
     )
 
 
@@ -237,11 +239,11 @@ class AudioFrontend:
     encoder with matching hidden size so smoke tests stay fast."""
 
     def __init__(self, cfg: PipelineConfig, params_path: Optional[str] = None,
-                 seed: int = 0):
+                 seed: int = 0, allow_tiny: bool = False):
         from fdm_tpu.audio import AudioEncoder
         from fdm_tpu.audio.encoder import encoder_config_for
 
-        enc_cfg = encoder_config_for(cfg.fdm)
+        enc_cfg = encoder_config_for(cfg.fdm, allow_tiny=allow_tiny)
         self.cfg = cfg
         self.encoder = AudioEncoder(enc_cfg)
         if params_path:

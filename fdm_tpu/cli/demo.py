@@ -99,7 +99,10 @@ def main(argv=None) -> int:
         ]
     style = jnp.eye(cfg.fdm.style_classes)[None, args.style % cfg.fdm.style_classes]
 
-    frontend = AudioFrontend(cfg, args.audio_params, seed=args.seed)
+    frontend = AudioFrontend(
+        cfg, args.audio_params, seed=args.seed,
+        allow_tiny=args.tiny or args.synthetic,
+    )
     samples = int(T_pad * sr / fps)
     audio = np.zeros((1, samples), np.float32)
     audio[0, : min(len(wav), samples)] = wav[:samples]

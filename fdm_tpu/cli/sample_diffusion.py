@@ -79,7 +79,10 @@ def main(argv=None) -> int:
         FlameDecoder(cfg, args.flame_model)
         if cfg.dataset.uses_flame_params else None
     )
-    frontend = AudioFrontend(cfg, args.audio_params, seed=args.seed)
+    frontend = AudioFrontend(
+        cfg, args.audio_params, seed=args.seed,
+        allow_tiny=args.tiny or args.synthetic,
+    )
     ld = make_pipeline(cfg)
 
     vq_params, fdm_params = _init_params(ld, cfg, args, records, flame, frontend)

@@ -87,8 +87,14 @@ def main(argv=None) -> int:
         FlameDecoder(cfg, args.flame_model)
         if cfg.dataset.uses_flame_params else None
     )
-    frontend = AudioFrontend(cfg, args.audio_params, seed=args.seed)
-    ld = make_pipeline(cfg, with_audio_encoder=args.train_audio_encoder)
+    frontend = AudioFrontend(
+        cfg, args.audio_params, seed=args.seed,
+        allow_tiny=args.tiny or args.synthetic,
+    )
+    ld = make_pipeline(
+        cfg, with_audio_encoder=args.train_audio_encoder,
+        allow_tiny_audio_encoder=args.tiny or args.synthetic,
+    )
 
     batch0 = _prepare(next(_batches(splits.train, cfg, args, 0)), cfg, flame,
                       frontend, keep_audio=args.train_audio_encoder)

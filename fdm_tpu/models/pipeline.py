@@ -54,14 +54,18 @@ class LatentDiffusion:
     def create(cls, config: PipelineConfig, dtype=jnp.float32,
                cross_mode: str = "fast",
                self_attn_mode: str = "table",
-               with_audio_encoder: bool = False) -> "LatentDiffusion":
+               with_audio_encoder: bool = False,
+               allow_tiny_audio_encoder: bool = False) -> "LatentDiffusion":
         audio_encoder = None
         if with_audio_encoder:
             from fdm_tpu.audio import AudioEncoder
             from fdm_tpu.audio.encoder import encoder_config_for
 
             audio_encoder = AudioEncoder(
-                encoder_config_for(config.fdm), dtype=dtype
+                encoder_config_for(
+                    config.fdm, allow_tiny=allow_tiny_audio_encoder
+                ),
+                dtype=dtype,
             )
         return cls(
             config=config,

@@ -130,3 +130,21 @@ def test_linear_interpolation_matches_torch():
         jnp.asarray(x.numpy()), input_fps=50, output_fps=30, output_len=out_len
     )
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_encoder_config_for_guards_tiny_substitution():
+    """A full-size run with a mismatched audio_dim must fail loudly instead
+    of silently training against a 2-layer stand-in encoder."""
+    import pytest
+    from fdm_tpu.audio.encoder import encoder_config_for
+    from fdm_tpu.configs import get_config
+    import dataclasses
+
+    fdm = dataclasses.replace(get_config("mead").fdm, audio_dim=12)
+    with pytest.raises(ValueError, match="allow_tiny"):
+        encoder_config_for(fdm)
+    tiny = encoder_config_for(fdm, allow_tiny=True)
+    assert tiny.hidden_size == 12 and tiny.num_layers == 2
+    # exact named match needs no flag
+    full = encoder_config_for(get_config("mead").fdm)
+    assert full.hidden_size == 1024 and full.num_layers == 24

@@ -159,7 +159,9 @@ def test_stage2_e2e_loss_uses_specaugment():
                                   ddim_steps=4),
         train=TrainConfig(),
     )
-    ld = LatentDiffusion.create(cfg, with_audio_encoder=True)
+    ld = LatentDiffusion.create(
+        cfg, with_audio_encoder=True, allow_tiny_audio_encoder=True
+    )
     # the tiny stand-in encoder defaults to apply_spec_augment=True with
     # mask_time_length=10; its conv stack yields 50 frames/s so T=32 works
     B, T = 2, 32

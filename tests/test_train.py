@@ -169,7 +169,9 @@ def test_stage2_e2e_trains_audio_encoder_with_frozen_conv():
     from fdm_tpu.train import frozen_aware_optimizer, make_stage2_e2e_step
 
     cfg = tiny_pipeline()
-    ld = LatentDiffusion.create(cfg, with_audio_encoder=True)
+    ld = LatentDiffusion.create(
+        cfg, with_audio_encoder=True, allow_tiny_audio_encoder=True
+    )
     B, T = 2, 8
     sr_samples = int(T / 25 * 16000)
     key = jax.random.PRNGKey(0)

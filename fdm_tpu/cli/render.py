@@ -29,8 +29,19 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--audio_dir", default=None,
                         help="dir of <name>.wav files to mux (needs ffmpeg)")
     parser.add_argument("--faces", default=None,
-                        help=".npy (F, 3) triangle indices -> flat-shaded "
-                             "mesh rendering instead of point splats")
+                        help=".npy (F, 3) triangle indices -> mesh "
+                             "rendering instead of point splats")
+    parser.add_argument("--rig", default="voca", choices=["voca", "ortho"],
+                        help="voca = reference perspective camera + raymond "
+                             "lighting + Gouraud shading (needs --faces); "
+                             "ortho = fast orthographic fallback")
+    parser.add_argument("--camera", default="vocaset",
+                        choices=["vocaset", "biwi", "mead"],
+                        help="intrinsics preset (reference render.py:30-37)")
+    parser.add_argument("--z_offset", type=float, default=0.0,
+                        help="camera z shift (reference render.py:71)")
+    parser.add_argument("--background_black", action="store_true",
+                        help="black background (reference render.py:57-60)")
     return parser
 
 
@@ -58,8 +69,12 @@ def main(argv=None) -> int:
             audio = cand if os.path.exists(cand) else None
         out = os.path.join(args.output_dir, name + ".mp4")
         n = write_video(
-            render_sequence(verts, size=args.size, faces=faces), out,
-            fps=args.fps, audio_path=audio,
+            render_sequence(
+                verts, size=args.size, faces=faces, rig=args.rig,
+                dataset=args.camera, z_offset=args.z_offset,
+                background_black=args.background_black,
+            ),
+            out, fps=args.fps, audio_path=audio,
         )
         print(f"{out}: {n} frames @ {args.fps} fps")
     return 0

@@ -5,3 +5,9 @@ from fdm_tpu.render.renderer import (  # noqa: F401
     render_sequence,
     write_video,
 )
+from fdm_tpu.render.voca_rig import (  # noqa: F401
+    CAMERA_PARAMS,
+    project_voca,
+    render_frame_voca,
+    vertex_normals,
+)

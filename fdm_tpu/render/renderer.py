@@ -110,13 +110,32 @@ def render_sequence(
     vertices: np.ndarray,               # (T, V, 3) or (T, V*3)
     size: int = 800,
     faces: Optional[np.ndarray] = None,
+    rig: str = "voca",
+    dataset: str = "vocaset",
+    z_offset: float = 0.0,
+    background_black: bool = False,
 ) -> Iterable[np.ndarray]:
-    """Yield one frame per timestep with sequence-constant normalization.
-    With `faces`, frames are flat-shaded meshes; otherwise depth-shaded
-    point splats."""
+    """Yield one frame per timestep.
+
+    rig="voca" (default, needs `faces`): the reference's pyrender scene —
+    perspective VOCA camera, raymond lighting, smooth Gouraud shading
+    (fdm_tpu.render.voca_rig). rig="ortho": the fast fallback — flat-shaded
+    painter's-algorithm meshes with `faces`, depth-shaded point splats
+    without (sequence-constant normalization)."""
     verts = np.asarray(vertices, np.float32)
     if verts.ndim == 2:
         verts = verts.reshape(verts.shape[0], -1, 3)
+    if rig == "voca" and faces is not None:
+        from fdm_tpu.render.voca_rig import render_frame_voca
+
+        t_center = verts[0].mean(axis=0)  # reference render.py:128
+        for t in range(verts.shape[0]):
+            yield render_frame_voca(
+                verts[t], faces, dataset=dataset, size=size,
+                t_center=t_center, z_offset=z_offset,
+                background_black=background_black,
+            )
+        return
     lo = verts.reshape(-1, 3).min(axis=0)
     hi = verts.reshape(-1, 3).max(axis=0)
     for t in range(verts.shape[0]):

@@ -80,3 +80,138 @@ def test_render_cli_with_faces(tmp_path):
     ) == 0
     import os
     assert os.path.getsize(str(tmp_path / "v" / "seq.mp4")) > 0
+
+
+# ---------------- VOCA rig (reference render/render.py:28-106) ----------
+
+
+def _uv_sphere(radius=0.08, center=(0.0, 0.0, 0.0), n_lat=24, n_lon=32):
+    """Face-scale sphere mesh for rig tests."""
+    lats = np.linspace(0, np.pi, n_lat)
+    lons = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    verts = []
+    for th in lats:
+        for ph in lons:
+            verts.append([
+                np.sin(th) * np.cos(ph), np.cos(th), np.sin(th) * np.sin(ph)
+            ])
+    v = np.asarray(verts) * radius + np.asarray(center)
+    faces = []
+    for i in range(n_lat - 1):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return v.astype(np.float64), np.asarray(faces, np.int64)
+
+
+def test_project_voca_matches_reference_pinhole():
+    """Camera matrix parity: camera at (0,0,1) looking -z, fx=fy=4754.98/2
+    (vocaset) or /8 (biwi), cx=cy=400."""
+    from fdm_tpu.render import project_voca
+
+    pts = np.array([
+        [0.0, 0.0, 0.0],     # optical axis -> principal point, depth 1
+        [0.1, 0.0, 0.0],
+        [0.0, 0.1, 0.0],
+        [0.0, 0.0, 0.5],     # closer to the camera -> depth 0.5
+    ])
+    pix, depth = project_voca(pts, "vocaset")
+    f = 4754.97941935 / 2
+    np.testing.assert_allclose(pix[0], [400.0, 400.0], atol=1e-9)
+    np.testing.assert_allclose(depth, [1.0, 1.0, 1.0, 0.5], atol=1e-12)
+    np.testing.assert_allclose(pix[1], [400.0 + f * 0.1, 400.0], atol=1e-9)
+    # +y is up -> smaller row index
+    np.testing.assert_allclose(pix[2], [400.0, 400.0 - f * 0.1], atol=1e-9)
+    # perspective: closer point subtends a larger angle
+    pix_b, _ = project_voca(pts, "biwi")
+    np.testing.assert_allclose(
+        pix_b[1, 0] - 400.0, (f / 4) * 0.1, atol=1e-9
+    )
+
+
+def test_voca_rodrigues_matches_scipy():
+    from scipy.spatial.transform import Rotation
+
+    from fdm_tpu.render.voca_rig import rodrigues
+
+    for vec in ([0.3, -0.2, 0.5], [0, 0, 0], [np.pi / 2, 0, 0]):
+        np.testing.assert_allclose(
+            rodrigues(np.asarray(vec)),
+            Rotation.from_rotvec(vec).as_matrix(), atol=1e-10,
+        )
+
+
+def test_vertex_normals_are_radial_on_sphere():
+    from fdm_tpu.render import vertex_normals
+
+    v, f = _uv_sphere()
+    n = vertex_normals(v, f)
+    radial = v - v.mean(axis=0)
+    radial /= np.linalg.norm(radial, axis=1, keepdims=True)
+    # poles are degenerate in a UV sphere; check the midband
+    band = np.abs(radial[:, 1]) < 0.8
+    dots = np.sum(n[band] * radial[band], axis=1)
+    assert dots.min() > 0.97
+
+
+def test_voca_render_is_lit_smooth_shaded_and_nondegenerate():
+    from fdm_tpu.render.voca_rig import render_frame_voca
+
+    v, f = _uv_sphere(radius=0.08)
+    size = 200
+    img = render_frame_voca(v, f, dataset="vocaset", size=size)
+    gray = img[..., 0].astype(np.float64)
+
+    # non-degenerate: background white at corners, object covers the center
+    assert gray[0, 0] == 255 and gray[-1, -1] == 255
+    center = gray[size // 2, size // 2]
+    assert center < 250  # lit surface, not background
+
+    # lit by the -z light: the sphere's nearest point (center) is brighter
+    # than its silhouette edge
+    row = gray[size // 2]
+    obj = np.nonzero(row < 250)[0]
+    assert len(obj) > 20
+    edge = row[obj[2]]
+    assert center > edge + 30
+
+    # smooth (Gouraud) shading: many distinct gray levels along the scanline,
+    # flat shading would quantize to a handful of per-face constants
+    assert len(np.unique(row[obj])) > 25
+
+    # occlusion: black background mode flips the empty corners only
+    img_b = render_frame_voca(
+        v, f, dataset="vocaset", size=size, background_black=True
+    )
+    assert img_b[0, 0, 0] == 0
+    np.testing.assert_array_equal(img_b[size // 2, size // 2], img[size // 2, size // 2])
+
+
+def test_voca_render_rotation_moves_silhouette():
+    from fdm_tpu.render.voca_rig import render_frame_voca
+
+    # off-center bump (ellipsoid) so a y-rotation changes the image
+    v, f = _uv_sphere(radius=0.06, center=(0.03, 0.0, 0.0))
+    size = 160
+    a = render_frame_voca(v, f, size=size)
+    b = render_frame_voca(
+        v, f, size=size, rot=np.array([0.0, np.pi / 4, 0.0]),
+        t_center=np.zeros(3),
+    )
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 50
+
+
+def test_render_sequence_voca_rig_and_video(tmp_path):
+    from fdm_tpu.render import render_sequence, write_video
+
+    v, f = _uv_sphere(radius=0.07, n_lat=12, n_lon=16)
+    seq = np.stack([v, v + np.array([0.0, 0.005, 0.0])])
+    frames = list(render_sequence(seq, size=120, faces=f, rig="voca"))
+    assert len(frames) == 2 and frames[0].shape == (120, 120, 3)
+    out = str(tmp_path / "voca.mp4")
+    n = write_video(iter(frames), out, fps=25)
+    assert n == 2 and os.path.getsize(out) > 0

@@ -1,9 +1,10 @@
-"""Structured training metrics: JSONL stream + optional TensorBoard.
+"""Structured training metrics: JSONL stream + TensorBoard event files.
 
 Replaces the reference's SummaryWriter scalar streams
-(train/train_diffusion_mead.py:54,109-111) with an always-available JSONL
-writer; TensorBoard output is attached when a writer backend is importable
-(tensorboardX / torch.utils.tensorboard), since TF isn't guaranteed.
+(train/train_mead_vqvae.py:100-102, train/train_diffusion_mead.py:109-111)
+with an always-available JSONL writer plus a dependency-free TensorBoard
+event writer (fdm_tpu.utils.tb_events) so `tensorboard --logdir` works on
+the run directory exactly like it does for the reference trainers.
 """
 
 from __future__ import annotations
@@ -11,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
 
 
 class MetricLogger:
@@ -22,13 +22,17 @@ class MetricLogger:
         self._fh = open(self.path, "a", buffering=1)
         self._tb = None
         if tensorboard:
-            self._tb = _try_tensorboard(os.path.join(log_dir, run_name))
+            from fdm_tpu.utils.tb_events import EventFileWriter
+
+            self._tb = EventFileWriter(os.path.join(log_dir, run_name))
 
     def log_step(self, step: int, metrics: dict):
         self._write({"kind": "step", "step": step, **metrics})
         if self._tb is not None:
             for k, v in metrics.items():
-                self._tb.add_scalar(f"step/{k}", v, step)
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(f"step/{k}", v, step)
+            self._tb.flush()
 
     def log_epoch(self, epoch: int, metrics: dict):
         self._write({"kind": "epoch", "epoch": epoch, **metrics})
@@ -36,6 +40,7 @@ class MetricLogger:
             for k, v in metrics.items():
                 if isinstance(v, (int, float)):
                     self._tb.add_scalar(f"epoch/{k}", v, epoch)
+            self._tb.flush()
 
     def _write(self, record: dict):
         record["time"] = time.time()
@@ -45,12 +50,3 @@ class MetricLogger:
         self._fh.close()
         if self._tb is not None:
             self._tb.close()
-
-
-def _try_tensorboard(path: str):
-    try:
-        from torch.utils.tensorboard import SummaryWriter  # type: ignore
-
-        return SummaryWriter(path)
-    except Exception:
-        return None

@@ -63,17 +63,30 @@ def initialize_distributed(
     global mesh (collectives ride ICI within a slice, DCN across slices —
     SURVEY.md §5.8). On TPU pods the arguments auto-detect from the
     environment; returns the process index. No-op for single-process runs."""
-    if jax.process_count() > 1:
-        return jax.process_index()
+    # NB: jax.process_count()/jax.devices() must NOT run before
+    # jax.distributed.initialize — they initialize the backend and the
+    # cluster can no longer form. Try to initialize first.
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # single-process / already initialized / no cluster env: fine
-        pass
+    except (ValueError, RuntimeError) as e:
+        already = "called once" in str(e)
+        if explicit and not already:
+            # an explicitly requested cluster that fails to form is an
+            # error, not a single-process fallback
+            raise
+        # auto-detect path: single-process / already initialized / no
+        # cluster env: fine
+    if explicit and jax.process_count() != (num_processes or 1):
+        raise RuntimeError(
+            f"distributed init formed {jax.process_count()} processes, "
+            f"expected {num_processes} — was the backend already "
+            f"initialized before initialize_distributed()?"
+        )
     return jax.process_index()
 
 

@@ -145,6 +145,8 @@ def make_stage2_step(
     def bound_step(state, batch, key):
         return compiled(state, batch, key, vq_params)
 
+    # expose the underlying jit for AOT inspection (bench.py cost_analysis)
+    bound_step.jitted = compiled
     return bound_step
 
 
@@ -191,6 +193,8 @@ def make_stage2_e2e_step(
     def bound_step(state, batch, key):
         return compiled(state, batch, key, vq_params)
 
+    # expose the underlying jit for AOT inspection (bench.py cost_analysis)
+    bound_step.jitted = compiled
     return bound_step
 
 
@@ -198,24 +202,21 @@ def freeze_audio_conv_mask(params) -> Any:
     """Boolean mask pytree for optax.masked / multi_transform: False (frozen)
     on the audio conv feature extractor, True elsewhere — the reference
     freezes exactly that subtree (models/fdm_vqvae_mead.py:19,
-    feature_extractor._freeze_parameters())."""
+    feature_extractor._freeze_parameters()).
 
-    def mask_tree(tree, frozen):
-        return jax.tree_util.tree_map(lambda _: not frozen, tree)
+    Path-based, so it survives pytree layout changes (any leaf whose path
+    goes through 'audio' and then 'feature_extractor' is frozen, at any
+    nesting depth)."""
 
-    out = {}
-    for top, sub in params.items():
-        if top != "audio":
-            out[top] = mask_tree(sub, frozen=False)
-            continue
-        audio = {}
-        for collection, inner in sub.items():   # e.g. "params"
-            audio[collection] = {
-                name: mask_tree(v, frozen=(name == "feature_extractor"))
-                for name, v in inner.items()
-            }
-        out[top] = audio
-    return out
+    def trainable(path, _leaf):
+        keys = [
+            getattr(p, "key", getattr(p, "name", None)) for p in path
+        ]
+        if "audio" not in keys:
+            return True
+        return "feature_extractor" not in keys[keys.index("audio"):]
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
 
 
 def frozen_aware_optimizer(

@@ -251,3 +251,24 @@ def test_trainer_profiling_writes_trace(tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "prof" / "**" / "*"), recursive=True)
+
+
+def test_freeze_mask_is_layout_robust():
+    """Path-based freezing: feature_extractor leaves are frozen under
+    'audio' at ANY nesting depth; same-named modules elsewhere are not
+    (round-1 VERDICT weak item 5)."""
+    import numpy as np
+
+    from fdm_tpu.train import freeze_audio_conv_mask
+
+    leaf = lambda: np.zeros(1)
+    params = {
+        "audio": {"params": {"wrapped": {"feature_extractor": {"k": leaf()},
+                                         "proj": {"k": leaf()}}}},
+        "fdm": {"params": {"feature_extractor": {"k": leaf()}}},
+    }
+    mask = freeze_audio_conv_mask(params)
+    assert mask["audio"]["params"]["wrapped"]["feature_extractor"]["k"] is False
+    assert mask["audio"]["params"]["wrapped"]["proj"]["k"] is True
+    # 'feature_extractor' OUTSIDE the audio subtree stays trainable
+    assert mask["fdm"]["params"]["feature_extractor"]["k"] is True

@@ -1,25 +1,30 @@
-"""Headline benchmark: end-to-end audio->vertices real-time factor (RTF) for
-the flagship 3D MEAD pipeline with the reference's inference configuration
-(full 1000-step ancestral DDPM) on one TPU chip.
+"""Driver benchmark: per-dataset end-to-end inference RTF + training
+throughput on one TPU chip.
 
-Prints ONE JSON line:
+Prints one JSON line PER METRIC:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+The flagship metric (MEAD e2e DDPM-1000 RTF — the reference's headline
+inference configuration) is printed LAST so single-line consumers read it.
 
-The reference publishes no wall-clock numbers (BASELINE.md); the quantitative
-target is the BASELINE.json north star: RTF < 0.1x real time for the FULL
-denoise loop on a single v5e chip. We report
-  value       = measured RTF (generation seconds per second of audio)
-  vs_baseline = 0.1 / value  (>1 == faster than the target; higher is better)
+Suites (reference configs per BASELINE.md):
+  mead    : HuBERT-large + 1000-step ancestral DDPM + EVQ decode, 24 fps
+            (diffusion_mead_encoder_decoder.py:663-665)
+  biwi    : wav2vec2-base + 50-step DDIM + 70110-dim decode, 25 fps
+            (samples/sample_diffusion_biwi.py:72)
+  vocaset : HuBERT-large @30fps interp + 100-step DDIM, 16 tok/frame
+            (samples/sample_diffusion_vocaset.py:80)
+  train   : full-size MEAD stage-2 e2e step (HuBERT inside the program,
+            joint FDM+encoder training, frozen conv+codec), steps/s + MFU
 
-The timed region is the complete on-device pipeline from raw waveform to
-vertices, ONE compiled XLA program: HuBERT-large audio encoding (24-layer
-transformer; the reference re-runs this inside every one of its 1000 denoise
-steps, reference models/fdm_vqvae_mead.py:70 — here it runs once) -> 50 Hz ->
-24 fps frame pairing -> steps x FDM denoise (lax.scan) -> EVQ quantize ->
-decode -> +template.
+The timed inference region is the complete on-device pipeline from raw
+waveform to vertices in ONE compiled XLA program: audio encoding (the
+reference re-runs its audio encoder inside every denoise step, reference
+models/fdm_vqvae_mead.py:70 — here it runs once) -> frame alignment ->
+steps x FDM denoise (lax.scan) -> quantize -> decode -> +template.
 
---fused uses the Pallas fused causal-ALiBi attention kernel in the denoiser
-(identical math; see fdm_tpu/kernels/attention.py).
+RTF target (BASELINE.json): < 0.1x real time => vs_baseline = 0.1 / RTF.
+Training has no reference number (1x GPU, batch 1, no wall-clock published);
+vs_baseline is steps/s against a 1.0 steps/s engineering target.
 """
 
 import argparse
@@ -29,31 +34,37 @@ import time
 import jax
 import jax.numpy as jnp
 
+PEAK_BF16_FLOPS_V5E = 197e12  # one v5e chip, bf16 systolic peak
 
-def build(seconds: float, steps: int, fused: bool = False,
-          include_audio_encoder: bool = True, dtype: str = "float32"):
-    from fdm_tpu.audio import AudioEncoder, pair_frames
-    from fdm_tpu.audio.encoder import get_encoder_config
+
+def build_generate(dataset: str, sampler: str, steps: int, seconds: float,
+                   fused: bool = False, dtype: str = "float32"):
+    """Waveform->vertices pipeline for one dataset preset, audio encoder
+    included in the compiled program. Returns (generate_fn, seconds)."""
     from fdm_tpu.configs import get_config
     from fdm_tpu.models import LatentDiffusion
 
-    cfg = get_config("mead")
+    cfg = get_config(dataset)
     fps = cfg.dataset.fps
     sr = cfg.dataset.audio_sr
     T = int(seconds * fps)
     ld = LatentDiffusion.create(
         cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
         self_attn_mode="fused" if fused else "table",
+        with_audio_encoder=True,
     )
 
     B = 1
     template = jnp.zeros((B, 1, cfg.vqvae.in_dim))
     style = jnp.eye(cfg.fdm.style_classes)[:B]
-    emo = jnp.eye(cfg.fdm.emotion_classes)[:B]
+    emo = (
+        jnp.eye(cfg.fdm.emotion_classes)[:B]
+        if cfg.fdm.emotion_classes else None
+    )
 
-    motion0 = jnp.zeros((B, T, cfg.vqvae.in_dim))
+    motion0 = jnp.zeros((B, 8, cfg.vqvae.in_dim))
     vq_params = jax.jit(ld.vqvae.init)(
-        jax.random.PRNGKey(1), motion0, template, emo
+        jax.random.PRNGKey(1), motion0, template[:, :1], emo
     )
     L = T * cfg.fdm.tokens_per_frame
     C = cfg.vqvae.zquant_dim
@@ -63,50 +74,146 @@ def build(seconds: float, steps: int, fused: bool = False,
         jax.random.PRNGKey(2), jnp.zeros((B, L, C)),
         jnp.zeros((B,), jnp.int32), audio_hidden0, style, emo,
     )
+    # +1 s zero-style pad like the reference demos so the conv stack yields
+    # enough 50 Hz frames for pairing/interp
+    num_samples = int(seconds * sr) + sr
+    enc_params = jax.jit(ld.audio_encoder.init)(
+        jax.random.PRNGKey(3), jnp.zeros((B, 6400))
+    )
+    wav = jax.random.normal(
+        jax.random.PRNGKey(4), (B, num_samples), jnp.float32
+    )
 
     # params/inputs are jit ARGUMENTS, never closure captures: a captured
     # device array is baked into the program as an HLO constant, and on this
     # backend serializing ~10^8 weight literals into the compile RPC takes
     # minutes (measured: 8 min for the denoise scan alone) vs seconds as
     # parameters.
-    if include_audio_encoder:
-        encoder = AudioEncoder(get_encoder_config(cfg.fdm.audio_encoder))
-        # pad so the conv stack yields >= 2T frames at ~50 Hz (320-sample hop)
-        num_samples = int(seconds * sr) + sr
-        enc_params = jax.jit(encoder.init)(
-            jax.random.PRNGKey(3), jnp.zeros((B, 6400))
-        )
-        wav = jax.random.normal(
-            jax.random.PRNGKey(4), (B, num_samples), jnp.float32
+    @jax.jit
+    def _generate(enc_params, vq_params, fdm_params, wav, k):
+        audio_hidden = ld.encode_audio(enc_params, wav, T)
+        return ld.generate(
+            vq_params, fdm_params, k, audio_hidden, template, style,
+            emo, sampler=sampler, num_steps=steps,
         )
 
-        @jax.jit
-        def _generate(enc_params, vq_params, fdm_params, wav, k):
-            hidden = encoder.apply(enc_params, wav, even_trim=False)
-            audio_hidden = pair_frames(hidden, pair)[:, :T]
-            return ld.generate(
-                vq_params, fdm_params, k, audio_hidden, template, style,
-                emo, sampler="ddpm", num_steps=steps,
-            )
-
-        def generate(k):
-            return _generate(enc_params, vq_params, fdm_params, wav, k)
-    else:
-        audio_hidden = jax.random.normal(
-            jax.random.PRNGKey(4), (B, T, cfg.fdm.audio_dim * pair)
-        )
-
-        @jax.jit
-        def _generate(vq_params, fdm_params, audio_hidden, k):
-            return ld.generate(
-                vq_params, fdm_params, k, audio_hidden, template, style,
-                emo, sampler="ddpm", num_steps=steps,
-            )
-
-        def generate(k):
-            return _generate(vq_params, fdm_params, audio_hidden, k)
+    def generate(k):
+        return _generate(enc_params, vq_params, fdm_params, wav, k)
 
     return generate
+
+
+def bench_rtf(dataset, sampler, steps, seconds, repeats, fused, dtype):
+    generate = build_generate(dataset, sampler, steps, seconds, fused, dtype)
+    out = generate(jax.random.PRNGKey(0))  # compile + warmup
+    out.block_until_ready()
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        out = generate(jax.random.PRNGKey(i + 1))
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    rtf = min(times) / seconds
+    return {
+        "metric": f"{dataset}_e2e_{sampler}{steps}_rtf_v5e1",
+        "value": round(rtf, 5),
+        "unit": "x_realtime (lower is better)",
+        "vs_baseline": round(0.1 / rtf, 3),
+    }
+
+
+def bench_train_step(seconds=5.0, repeats=20, dtype="float32"):
+    """Full-size MEAD stage-2 e2e train step (reference regime: batch 1,
+    joint FDM + HuBERT-large transformer, frozen conv extractor + codec)."""
+    from fdm_tpu.configs import get_config
+    from fdm_tpu.models import LatentDiffusion
+    from fdm_tpu.train import (
+        create_train_state, default_optimizer, frozen_aware_optimizer,
+        make_stage2_e2e_step,
+    )
+
+    cfg = get_config("mead")
+    ld = LatentDiffusion.create(
+        cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        with_audio_encoder=True,
+    )
+    B = 1
+    T = int(seconds * cfg.dataset.fps)
+    sr = cfg.dataset.audio_sr
+    key = jax.random.PRNGKey(0)
+    motion = jax.random.normal(key, (B, T, cfg.vqvae.in_dim)) * 0.01
+    template = jnp.zeros((B, 1, cfg.vqvae.in_dim))
+    wav = jax.random.normal(
+        jax.random.PRNGKey(1), (B, int(seconds * sr) + sr)
+    ) * 0.1
+    style = jnp.eye(cfg.fdm.style_classes)[:B]
+    emo = jnp.eye(cfg.fdm.emotion_classes)[:B]
+
+    vq_params = jax.jit(ld.vqvae.init)(
+        jax.random.PRNGKey(2), motion[:, :8], template, emo
+    )
+    enc_params = jax.jit(ld.audio_encoder.init)(
+        jax.random.PRNGKey(3), jnp.zeros((B, 6400))
+    )
+    audio_hidden = jax.jit(
+        lambda p, w: ld.encode_audio(p, w, T)
+    )(enc_params, wav)
+    L = T * cfg.fdm.tokens_per_frame
+    C = cfg.vqvae.zquant_dim
+    fdm_params = jax.jit(ld.fdm.init)(
+        jax.random.PRNGKey(4), jnp.zeros((B, L, C)),
+        jnp.zeros((B,), jnp.int32), audio_hidden, style, emo,
+    )
+
+    params = {"fdm": fdm_params, "audio": enc_params}
+    tx = frozen_aware_optimizer(default_optimizer(), params)
+    state = create_train_state(params, tx)
+    step = make_stage2_e2e_step(ld, tx, vq_params)
+    batch = {
+        "motion": motion, "template": template, "audio": wav,
+        "style_one_hot": style, "emotion_one_hot": emo,
+    }
+
+    state, metrics = step(state, batch, jax.random.PRNGKey(5))  # compile
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        state, metrics = step(state, batch, jax.random.PRNGKey(6 + i))
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / repeats
+    steps_per_s = 1.0 / dt
+
+    # rough MFU from XLA's own flop count for the compiled step
+    mfu = None
+    try:
+        jitted = getattr(step, "jitted", None)
+        if jitted is not None:
+            cost = (
+                jitted.lower(state, batch, jax.random.PRNGKey(0), vq_params)
+                .compile().cost_analysis()
+            )
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                mfu = flops * steps_per_s / PEAK_BF16_FLOPS_V5E * 100.0
+    except Exception:
+        pass
+
+    out = [{
+        "metric": f"mead_stage2_e2e_train_b1_t{T}_steps_per_s_v5e1",
+        "value": round(steps_per_s, 4),
+        "unit": "steps/s (higher is better)",
+        "vs_baseline": round(steps_per_s / 1.0, 3),
+    }]
+    if mfu is not None:
+        out.append({
+            "metric": "mead_stage2_e2e_train_mfu_v5e1",
+            "value": round(mfu, 2),
+            "unit": "% of bf16 peak (xla-counted flops)",
+            "vs_baseline": round(mfu / 10.0, 3),
+        })
+    return out
 
 
 def main():
@@ -117,13 +224,14 @@ def main():
     ap.add_argument("--seconds", type=float, default=10.0,
                     help="audio clip length the pipeline animates")
     ap.add_argument("--steps", type=int, default=1000,
-                    help="DDPM denoise steps (reference MEAD: 1000)")
+                    help="MEAD DDPM denoise steps (reference: 1000)")
     ap.add_argument("--quick", action="store_true",
-                    help="reduced steps/length smoke run")
+                    help="reduced steps/length MEAD-only smoke run")
+    ap.add_argument("--only", default=None,
+                    choices=["mead", "biwi", "vocaset", "train"],
+                    help="run a single suite")
     ap.add_argument("--fused", action="store_true",
                     help="Pallas fused-attention denoiser")
-    ap.add_argument("--no_audio_encoder", action="store_true",
-                    help="exclude HuBERT from the timed region")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="model compute dtype (fp32 is the parity default)")
@@ -133,36 +241,35 @@ def main():
     if args.quick:
         args.seconds, args.steps, args.repeats = 2.0, 50, 1
 
-    generate = build(
-        args.seconds, args.steps, fused=args.fused,
-        include_audio_encoder=not args.no_audio_encoder,
-        dtype=args.dtype,
+    records = []
+    suites = (
+        [args.only] if args.only
+        else (["mead"] if args.quick
+              else ["biwi", "vocaset", "train", "mead"])
     )
+    for suite in suites:
+        if suite == "train":
+            records.extend(bench_train_step(
+                repeats=max(args.repeats, 20), dtype=args.dtype,
+            ))
+        elif suite == "mead":
+            records.append(bench_rtf(
+                "mead", "ddpm", args.steps, args.seconds, args.repeats,
+                args.fused, args.dtype,
+            ))
+        elif suite == "biwi":
+            records.append(bench_rtf(
+                "biwi", "ddim", 50, args.seconds, args.repeats,
+                args.fused, args.dtype,
+            ))
+        elif suite == "vocaset":
+            records.append(bench_rtf(
+                "vocaset", "ddim", 100, args.seconds, args.repeats,
+                args.fused, args.dtype,
+            ))
 
-    # compile + warmup
-    out = generate(jax.random.PRNGKey(0))
-    out.block_until_ready()
-
-    times = []
-    for i in range(args.repeats):
-        t0 = time.perf_counter()
-        out = generate(jax.random.PRNGKey(i + 1))
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-
-    gen_time = min(times)
-    rtf = gen_time / args.seconds
-    target = 0.1
-    print(
-        json.dumps(
-            {
-                "metric": f"mead_e2e_ddpm{args.steps}_rtf_v5e1",
-                "value": round(rtf, 5),
-                "unit": "x_realtime (lower is better)",
-                "vs_baseline": round(target / rtf, 3),
-            }
-        )
-    )
+    for rec in records:
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

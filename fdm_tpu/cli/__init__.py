@@ -8,6 +8,7 @@
   metrics             FVE/LVE/EME/MVE/FDD/diversity     (ref metric/metric.py, computer_metrix.py)
   render              .npy -> .mp4                      (ref render/render*.py)
   preprocess_vocaset  raw VOCASET -> per-sequence files (ref vocaset/process_voca_data.py)
+  preprocess_mead_audio  MEAD .m4a -> 16 kHz mono .wav  (ref data_loader_mead.py librosa decode)
   convert_weights     reference torch / HF checkpoints -> .msgpack params
 
 All run as `python -m fdm_tpu.cli.<name>` or `python -m fdm_tpu <name>`.
@@ -22,5 +23,6 @@ COMMANDS = (
     "metrics",
     "render",
     "preprocess_vocaset",
+    "preprocess_mead_audio",
     "convert_weights",
 )

@@ -1,0 +1,147 @@
+"""MEAD audio preprocessing: decode the dataset's .m4a clips to the 16 kHz
+mono .wav layout the loaders read.
+
+Parity surface: the reference decodes MEAD m4a on the fly through librosa's
+ffmpeg-backed audioread path (reference datasets/data_loader_mead.py audio
+read); neither librosa nor an ffmpeg binary ships in every environment, so
+here the decode is an explicit one-time preprocessing step:
+
+  python -m fdm_tpu preprocess-mead-audio --src <MEAD_root> --dst <out>/wav
+
+Sources already in .wav are resampled in-process (scipy polyphase, no
+external binary). Compressed .m4a/.mp4/.aac need a decoder: ffmpeg when on
+PATH, or any command template via --converter
+(e.g. --converter 'avconv -i {src} -ar {sr} -ac 1 {dst}').
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+COMPRESSED = (".m4a", ".mp4", ".aac")
+TARGET_SR = 16000
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--src", required=True,
+                        help="directory tree containing .m4a/.wav audio")
+    parser.add_argument("--dst", required=True,
+                        help="output directory for 16 kHz mono .wav files")
+    parser.add_argument("--sr", type=int, default=TARGET_SR)
+    parser.add_argument("--flatten", action="store_true",
+                        help="write all wavs into --dst directly (default "
+                             "mirrors the source tree)")
+    parser.add_argument(
+        "--converter", default=None,
+        help="command template for compressed sources with {src} {dst} {sr} "
+             "placeholders; default uses ffmpeg when available",
+    )
+    return parser
+
+
+def find_audio(src: str) -> List[str]:
+    hits = []
+    for root, _dirs, files in os.walk(src):
+        for f in sorted(files):
+            if f.lower().endswith(COMPRESSED + (".wav",)):
+                hits.append(os.path.join(root, f))
+    return hits
+
+
+def resample_wav(path: str, dst: str, sr: int) -> None:
+    """In-process wav -> 16 kHz mono wav (scipy polyphase, no binary)."""
+    from scipy.io import wavfile
+    from scipy.signal import resample_poly
+
+    in_sr, data = wavfile.read(path)
+    data = np.asarray(data)
+    if data.dtype.kind == "i":
+        data = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
+    elif data.dtype.kind == "u":
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 2:
+        data = data.mean(axis=1)
+    if in_sr != sr:
+        g = np.gcd(in_sr, sr)
+        data = resample_poly(data, sr // g, in_sr // g).astype(np.float32)
+    wavfile.write(dst, sr, np.clip(data, -1.0, 1.0))
+
+
+def default_converter() -> Optional[str]:
+    if shutil.which("ffmpeg"):
+        return "ffmpeg -y -i {src} -ar {sr} -ac 1 {dst}"
+    return None
+
+
+def convert_compressed(path: str, dst: str, sr: int,
+                       converter: Optional[str]) -> None:
+    template = converter or default_converter()
+    if template is None:
+        raise SystemExit(
+            f"cannot decode {path!r}: compressed MEAD audio needs a decoder "
+            f"and neither ffmpeg is on PATH nor --converter was given. "
+            f"Run the conversion once on any machine with ffmpeg:\n"
+            f"  ffmpeg -i <clip>.m4a -ar {sr} -ac 1 <clip>.wav\n"
+            f"or pass --converter 'your-tool -i {{src}} ... {{dst}}'."
+        )
+    cmd = [
+        part.format(src=path, dst=dst, sr=sr)
+        for part in template.split()
+    ]
+    res = subprocess.run(cmd, capture_output=True)
+    if res.returncode != 0 or not os.path.exists(dst):
+        raise SystemExit(
+            f"converter failed on {path!r} (rc={res.returncode}): "
+            f"{res.stderr.decode(errors='replace')[-500:]}"
+        )
+
+
+def process(src: str, dst: str, sr: int, flatten: bool,
+            converter: Optional[str]) -> Tuple[int, int]:
+    files = find_audio(src)
+    if not files:
+        raise SystemExit(f"no .wav/.m4a audio under {src!r}")
+    done = skipped = 0
+    for path in files:
+        rel = os.path.relpath(path, src)
+        out_rel = (
+            os.path.basename(rel) if flatten else rel
+        )
+        out = os.path.join(
+            dst, os.path.splitext(out_rel)[0] + ".wav"
+        )
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        if os.path.exists(out):
+            skipped += 1
+            continue
+        if path.lower().endswith(".wav"):
+            resample_wav(path, out, sr)
+        else:
+            convert_compressed(path, out, sr, converter)
+        done += 1
+    return done, skipped
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    done, skipped = process(
+        args.src, args.dst, args.sr, args.flatten, args.converter
+    )
+    print(
+        f"preprocess-mead-audio: wrote {done} wav(s) to {args.dst} "
+        f"({skipped} already present)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -365,3 +365,55 @@ def test_convert_weights_audio_hf_checkpoint(workdir):
         params, jnp.asarray(wav), even_trim=False
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+def test_preprocess_mead_audio(tmp_path, monkeypatch):
+    """wav sources resample in-process; compressed sources route through the
+    converter template; missing decoder fails with actionable guidance."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from fdm_tpu.cli import preprocess_mead_audio as ppa
+
+    src = tmp_path / "mead" / "spk1"
+    src.mkdir(parents=True)
+    t = np.linspace(0, 1, 48000, endpoint=False)
+    wavfile.write(
+        str(src / "a.wav"), 48000,
+        (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32),
+    )
+    dst = tmp_path / "wav"
+
+    rc = ppa.main(["--src", str(tmp_path / "mead"), "--dst", str(dst)])
+    assert rc == 0
+    sr, data = wavfile.read(str(dst / "spk1" / "a.wav"))
+    assert sr == 16000 and abs(len(data) - 16000) <= 2
+    # resample preserves the tone's dominant frequency
+    spec = np.abs(np.fft.rfft(data.astype(np.float64)))
+    assert abs(np.argmax(spec) * sr / len(data) - 220) < 5
+
+    # compressed source + fake converter template
+    (src / "b.m4a").write_bytes(b"\x00fakem4a")
+    fake = tmp_path / "fakeconv.py"
+    fake.write_text(
+        "import sys, numpy as np\nfrom scipy.io import wavfile\n"
+        "wavfile.write(sys.argv[2], int(sys.argv[3]), "
+        "np.zeros(100, np.float32))\n"
+    )
+    import sys as _sys
+
+    rc = ppa.main([
+        "--src", str(tmp_path / "mead"), "--dst", str(dst),
+        "--converter", f"{_sys.executable} {fake} {{src}} {{dst}} {{sr}}",
+    ])
+    assert rc == 0
+    sr_b, data_b = wavfile.read(str(dst / "spk1" / "b.wav"))
+    assert sr_b == 16000 and len(data_b) == 100
+
+    # compressed source with NO decoder available -> actionable SystemExit
+    import shutil as _shutil
+
+    (src / "c.m4a").write_bytes(b"\x00fakem4a")
+    monkeypatch.setattr(_shutil, "which", lambda _: None)
+    with pytest.raises(SystemExit, match="ffmpeg"):
+        ppa.main(["--src", str(tmp_path / "mead"), "--dst", str(dst)])

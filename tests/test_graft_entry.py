@@ -73,3 +73,4 @@ def test_dryrun_real_subprocess_end_to_end():
     assert res.returncode == 0, res.stderr[-2000:]
     assert "one DP train step ok" in res.stdout
     assert "DPxTP denoise ok" in res.stdout
+    assert "DPxTP train step ok" in res.stdout

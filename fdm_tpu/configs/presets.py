@@ -109,8 +109,11 @@ class DiffusionConfig:
     sample_steps: int = 1000        # ancestral steps at inference (MEAD: 1000)
     ddim_steps: int = 50            # DDIM steps (BIWI: 50, VOCASET: 100)
     ddim_eta: float = 0.0
-    scan_unroll: int = 4            # sampler scan unrolling (loop-overhead
-                                    # trim; numerically identical)
+    scan_unroll: int = 4            # DDPM scan unrolling: +8% at 1000 steps
+                                    # on v5e; numerically identical
+    ddim_scan_unroll: int = 1       # DDIM measured FASTER un-unrolled on
+                                    # v5e (44.7 vs 56.1 ms, 49 pairs at BIWI
+                                    # full size — larger per-step program)
     cfg_scale: float = 0.0          # 0 disables classifier-free guidance;
                                     # reference demo uses 2.5 when enabled
                                     # (reference utiles/classifierfree.py:15)

@@ -353,7 +353,8 @@ class LatentDiffusion:
             steps = num_steps or cfg.diffusion.ddim_steps
             latent = ddim_sample(
                 self.schedule, denoise_fn, latent_shape, key, steps=steps,
-                eta=cfg.diffusion.ddim_eta, unroll=cfg.diffusion.scan_unroll,
+                eta=cfg.diffusion.ddim_eta,
+                unroll=cfg.diffusion.ddim_scan_unroll,
             )
         else:
             raise ValueError(f"unknown sampler {sampler!r}")

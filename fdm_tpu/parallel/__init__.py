@@ -1,3 +1,7 @@
+from fdm_tpu.parallel.fsdp import (
+    fsdp_shardings,
+    place_fsdp_params,
+)
 from fdm_tpu.parallel.tensor import (
     fdm_tp_shardings,
     place_tp_params,
@@ -20,4 +24,6 @@ __all__ = [
     "local_batch_slice",
     "fdm_tp_shardings",
     "place_tp_params",
+    "fsdp_shardings",
+    "place_fsdp_params",
 ]

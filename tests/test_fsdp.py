@@ -1,0 +1,85 @@
+"""FSDP / ZeRO-3 placement: params + Adam moments sharded over the 'data'
+axis must reproduce the single-device training step exactly, with the state
+actually distributed (1/N per chip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from fdm_tpu.parallel import make_mesh, shard_batch
+from fdm_tpu.parallel.fsdp import fsdp_shardings, place_fsdp_params
+
+from test_pipeline import tiny_pipeline, init_pipeline
+
+
+def test_fsdp_shardings_split_the_big_kernels():
+    cfg = tiny_pipeline()
+    _, _, fdm_params, *_ = init_pipeline(cfg)
+    mesh = make_mesh((8,))
+    sh = fsdp_shardings(fdm_params, mesh)
+    flat = jax.tree_util.tree_leaves_with_path(sh)
+    sharded = [s for _, s in flat if s.spec != P()]
+    # the tiny test model still has >=8-wide kernels: most leaves shard
+    assert len(sharded) > len(flat) // 2, (len(sharded), len(flat))
+    # every sharded spec names exactly the data axis
+    for s in sharded:
+        assert set(a for a in s.spec if a is not None) == {"data"}
+
+
+def test_fsdp_train_step_matches_single_device():
+    from fdm_tpu.train import (
+        create_train_state, default_optimizer, make_stage2_step,
+    )
+
+    cfg = tiny_pipeline()
+    ld, vq_params, fdm_params, motion, template, audio, style, emo = (
+        init_pipeline(cfg)
+    )
+    # batch must divide the 8-way data axis
+    rep = lambda x: jnp.tile(x, (4,) + (1,) * (x.ndim - 1))
+    batch = {
+        "motion": rep(motion), "template": rep(template),
+        "audio_hidden": rep(audio), "style_one_hot": rep(style),
+        "emotion_one_hot": rep(emo),
+    }
+    key = jax.random.PRNGKey(9)
+    tx = default_optimizer()
+
+    ref_state = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, fdm_params), tx
+    )
+    ref_step = make_stage2_step(ld, tx, vq_params, donate=False)
+    # zero-init output head: two steps so gradient reaches every layer
+    ref_state, _ = ref_step(ref_state, batch, key)
+    ref_state, ref_metrics = ref_step(ref_state, batch, key)
+
+    mesh = make_mesh((8,))
+    p_fsdp = place_fsdp_params(fdm_params, mesh)
+    fsdp_state = create_train_state(p_fsdp, tx)  # moments inherit shardings
+    fsdp_batch = shard_batch(batch, mesh)
+    fsdp_step = make_stage2_step(ld, tx, vq_params, mesh=mesh, donate=False)
+    fsdp_state, _ = fsdp_step(fsdp_state, fsdp_batch, key)
+    fsdp_state, fsdp_metrics = fsdp_step(fsdp_state, fsdp_batch, key)
+
+    np.testing.assert_allclose(
+        float(fsdp_metrics["loss"]), float(ref_metrics["loss"]),
+        rtol=2e-5, atol=1e-6,
+    )
+    ref_flat = jax.tree_util.tree_leaves(ref_state.params)
+    got_flat = jax.tree_util.tree_leaves(fsdp_state.params)
+    for a, b in zip(ref_flat, got_flat):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-3
+        )
+
+    # the state is genuinely ZeRO-sharded after the update, not gathered:
+    # updated kernel and its Adam mu live split across all 8 devices with
+    # each device holding 1/8 of the rows
+    k = fsdp_state.params["params"]["layer_0"]["linear1"]["kernel"]
+    assert len(k.sharding.device_set) == 8, k.sharding
+    assert not k.sharding.is_fully_replicated
+    mu = fsdp_state.opt_state[0].mu["params"]["layer_0"]["linear1"]["kernel"]
+    assert not mu.sharding.is_fully_replicated
+    shard_rows = k.addressable_shards[0].data.shape
+    assert np.prod(shard_rows) == k.size // 8, (shard_rows, k.shape)

@@ -10,6 +10,7 @@ from fdm_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
     replicated_sharding,
+    seq_sharding,
     shard_batch,
     initialize_distributed,
     local_batch_slice,
@@ -19,6 +20,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",
+    "seq_sharding",
     "shard_batch",
     "initialize_distributed",
     "local_batch_slice",

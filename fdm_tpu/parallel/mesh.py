@@ -44,6 +44,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def seq_sharding(mesh: Mesh, axis: str = "seq") -> NamedSharding:
+    """Sequence parallelism: shard the frame/token (second) axis of
+    (B, T, C) activations over `axis`. Annotating the audio features at the
+    generate() boundary is enough — XLA propagates the sharding through the
+    sampler scan, inserts the attention collectives, and keeps frame-local
+    ops (codec conv/linears, quantizer) fully local. Useful when one clip's
+    frames outgrow a chip (the single-chip answer to >600 frames is the
+    streaming flash kernel, SURVEY.md §5.7; SP spreads the same work over
+    ICI instead)."""
+    return NamedSharding(mesh, P(None, axis))
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put every array in a batch pytree with its leading axis sharded
     across the mesh. Leading dim must divide by the mesh axis size."""

@@ -50,6 +50,44 @@ def test_sharded_generate_matches_single_device():
     assert len(sharded.sharding.device_set) == 8
 
 
+def test_sequence_parallel_generate_matches_single_device():
+    """Shard the FRAME axis over the mesh (sequence parallelism): the whole
+    sampler scan + codec decode must compile, execute, and match the
+    single-device result, with the output still sequence-sharded (proving
+    XLA kept the frame axis distributed instead of gathering up front)."""
+    from fdm_tpu.parallel import seq_sharding
+
+    cfg = tiny_pipeline()
+    ld, vq_params, fdm_params, motion, template, audio, style, emo = (
+        init_pipeline(cfg)
+    )
+    key = jax.random.PRNGKey(7)
+
+    def generate(vq_p, fdm_p, k, audio, tmpl, style, emo):
+        return ld.generate(
+            vq_p, fdm_p, k, audio, tmpl, style, emo,
+            sampler="ddim", num_steps=4,
+        )
+
+    want = jax.jit(generate)(
+        vq_params, fdm_params, key, audio, template, style, emo
+    )
+
+    mesh = make_mesh((8,), axis_names=("seq",))
+    seq = seq_sharding(mesh)
+    repl = replicated_sharding(mesh)
+    got = jax.jit(generate)(
+        jax.device_put(vq_params, repl), jax.device_put(fdm_params, repl),
+        key, jax.device_put(audio, seq), jax.device_put(template, repl),
+        jax.device_put(style, repl), jax.device_put(emo, repl),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4
+    )
+    assert len(got.sharding.device_set) == 8
+    assert not got.sharding.is_fully_replicated
+
+
 def test_initialize_distributed_single_process_noop():
     from fdm_tpu.parallel import initialize_distributed, local_batch_slice
 

@@ -216,6 +216,9 @@ class AudioEncoder(nn.Module):
 
     config: AudioEncoderConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize transformer layers: trades recompute
+                         # for activation memory — matters for the 24-layer
+                         # HuBERT-large inside the joint stage-2 train step
 
     def setup(self):
         cfg = self.config
@@ -224,8 +227,9 @@ class AudioEncoder(nn.Module):
         self.fp_proj = nn.Dense(cfg.hidden_size, dtype=self.dtype)
         self.pos_conv = PositionalConvEmbedding(cfg, self.dtype)
         self.enc_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype)
+        layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
         self.encoder_layers = [
-            EncoderLayer(cfg, self.dtype, name=f"layer_{i}")
+            layer_cls(cfg, self.dtype, name=f"layer_{i}")
             for i in range(cfg.num_layers)
         ]
         if cfg.apply_spec_augment and cfg.mask_time_prob > 0:

@@ -135,6 +135,7 @@ def make_pipeline(cfg: PipelineConfig, with_audio_encoder: bool = False,
         self_attn_mode="fused" if cfg.train.use_pallas else "table",
         with_audio_encoder=with_audio_encoder,
         allow_tiny_audio_encoder=allow_tiny_audio_encoder,
+        remat=cfg.train.remat,
     )
 
 

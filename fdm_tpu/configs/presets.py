@@ -155,6 +155,9 @@ class TrainConfig:
     # precision: "bfloat16" for speed, "float32" for parity evals
     compute_dtype: str = "float32"
     use_pallas: bool = False
+    # gradient checkpointing of FDM decoder + audio encoder layers
+    # (memory <- FLOPs; enables bigger batches / longer clips per chip)
+    remat: bool = False
     log_dir: str = "runs"
     checkpoint_dir: str = "checkpoints"
 

@@ -55,7 +55,8 @@ class LatentDiffusion:
                cross_mode: str = "fast",
                self_attn_mode: str = "table",
                with_audio_encoder: bool = False,
-               allow_tiny_audio_encoder: bool = False) -> "LatentDiffusion":
+               allow_tiny_audio_encoder: bool = False,
+               remat: bool = False) -> "LatentDiffusion":
         audio_encoder = None
         if with_audio_encoder:
             from fdm_tpu.audio import AudioEncoder
@@ -66,6 +67,7 @@ class LatentDiffusion:
                     config.fdm, allow_tiny=allow_tiny_audio_encoder
                 ),
                 dtype=dtype,
+                remat=remat,
             )
         return cls(
             config=config,
@@ -74,7 +76,7 @@ class LatentDiffusion:
             ),
             vqvae=VQAutoEncoder(config.vqvae, dtype=dtype),
             fdm=FDM(config.fdm, dtype=dtype, cross_mode=cross_mode,
-                    self_attn_mode=self_attn_mode),
+                    self_attn_mode=self_attn_mode, remat=remat),
             audio_encoder=audio_encoder,
         )
 

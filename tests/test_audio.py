@@ -148,3 +148,26 @@ def test_encoder_config_for_guards_tiny_substitution():
     # exact named match needs no flag
     full = encoder_config_for(get_config("mead").fdm)
     assert full.hidden_size == 1024 and full.num_layers == 24
+
+
+def test_audio_encoder_remat_matches_plain():
+    """nn.remat'd encoder layers: identical hidden states and gradients
+    (memory <- FLOPs trade only)."""
+    cfg = tiny_cfg(norm="layer", stable=True, conv_bias=True)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, 800)) * 0.1
+    plain, remat = AudioEncoder(cfg), AudioEncoder(cfg, remat=True)
+    params = plain.init(jax.random.PRNGKey(1), wav)
+
+    def loss(model, p):
+        return jnp.sum(model.apply(p, wav) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(loss(plain, params)), np.asarray(loss(remat, params)),
+        rtol=1e-6,
+    )
+    g1 = jax.grad(lambda p: loss(plain, p))(params)
+    g2 = jax.grad(lambda p: loss(remat, p))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

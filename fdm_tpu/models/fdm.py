@@ -174,16 +174,18 @@ class FDM(nn.Module):
         )
         return mish(self.time_embed(one_hot))
 
-    def denoise(
+    def denoise_embed(
         self,
         x_t: jnp.ndarray,                # (B, T*tokens_per_frame, zquant)
         t: jnp.ndarray,                  # (B,) int32
         audio_feat: jnp.ndarray,         # (B, T, D) from prepare_audio
         style_one_hot: jnp.ndarray,      # (B, style_classes)
         emotion_one_hot: Optional[jnp.ndarray] = None,
-        deterministic: bool = True,
-    ) -> jnp.ndarray:
-        """One denoiser evaluation: predicts clean x0 latents from x_t."""
+    ):
+        """Everything before the decoder-layer stack: token regroup, latent
+        encoder, style/emotion/time conditioning, PE. Returns (x, mem) ready
+        for the layers — split out so the pipeline-parallel runner
+        (fdm_tpu.parallel.pipeline) can stage the layer stack separately."""
         cfg = self.config
         B, L, C = x_t.shape
         tpf = cfg.tokens_per_frame
@@ -222,12 +224,35 @@ class FDM(nn.Module):
             mem = audio_feat + time[:, None, :]
 
         x = x + jnp.asarray(self._pe[:T], dtype=x.dtype)[None]
-        bias = jnp.asarray(self._alibi[:, :T, :T])
-        for layer in self.layers:
-            x = layer(x, mem, bias, deterministic)
+        return x, mem
 
+    def alibi_bias(self, T: int) -> jnp.ndarray:
+        """(H, T, T) causal-ALiBi self-attention bias slice."""
+        return jnp.asarray(self._alibi[:, :T, :T])
+
+    def denoise_head(self, x: jnp.ndarray, token_shape) -> jnp.ndarray:
+        """Output projection + frame-major -> token-major regroup."""
+        B, L, C = token_shape
         x = self.latent_decoder(x)
         return x.reshape(B, L, C)
+
+    def denoise(
+        self,
+        x_t: jnp.ndarray,                # (B, T*tokens_per_frame, zquant)
+        t: jnp.ndarray,                  # (B,) int32
+        audio_feat: jnp.ndarray,         # (B, T, D) from prepare_audio
+        style_one_hot: jnp.ndarray,      # (B, style_classes)
+        emotion_one_hot: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """One denoiser evaluation: predicts clean x0 latents from x_t."""
+        x, mem = self.denoise_embed(
+            x_t, t, audio_feat, style_one_hot, emotion_one_hot
+        )
+        bias = self.alibi_bias(x.shape[1])
+        for layer in self.layers:
+            x = layer(x, mem, bias, deterministic)
+        return self.denoise_head(x, x_t.shape)
 
     def __call__(self, x_t, t, audio_hidden, style_one_hot,
                  emotion_one_hot=None, deterministic=True):

@@ -2,6 +2,10 @@ from fdm_tpu.parallel.fsdp import (
     fsdp_shardings,
     place_fsdp_params,
 )
+from fdm_tpu.parallel.pipeline import (
+    make_pp_denoise,
+    stack_decoder_layers,
+)
 from fdm_tpu.parallel.tensor import (
     fdm_tp_shardings,
     place_tp_params,
@@ -28,4 +32,6 @@ __all__ = [
     "place_tp_params",
     "fsdp_shardings",
     "place_fsdp_params",
+    "make_pp_denoise",
+    "stack_decoder_layers",
 ]

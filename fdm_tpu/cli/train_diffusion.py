@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="micro-batches per optimizer update")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of early steps")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params + optimizer state 1/N over the "
+                             "data mesh (ZeRO-3) instead of replicating")
     parser.add_argument("--train_audio_encoder", action="store_true",
                         help="fine-tune the audio encoder transformer jointly "
                              "with the FDM (conv extractor frozen) — the "
@@ -123,23 +126,38 @@ def main(argv=None) -> int:
     )
 
     mesh = choose_mesh(cfg.train.batch_size)
+    if args.fsdp and mesh is None:
+        raise SystemExit(
+            "--fsdp needs a multi-device mesh (train.batch_size must "
+            "divide the device count)"
+        )
+
+    def _place(params):
+        if args.fsdp:
+            from fdm_tpu.parallel import place_fsdp_params
+
+            return place_fsdp_params(params, mesh)
+        return params
+
     base_tx = accumulating_optimizer(
         default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay),
         args.grad_accum,
     )
     if args.train_audio_encoder:
-        train_params = {"fdm": fdm_params, "audio": frontend.params}
+        train_params = _place({"fdm": fdm_params, "audio": frontend.params})
         tx = frozen_aware_optimizer(base_tx, train_params)
         state = create_train_state(train_params, tx, ema_decay=args.ema_decay)
-        if mesh is not None:
+        if mesh is not None and not args.fsdp:
             state = replicate_state(state, mesh)
         step = make_stage2_e2e_step(
             ld, tx, vq_params, mesh=mesh, ema_decay=args.ema_decay
         )
     else:
         tx = base_tx
-        state = create_train_state(fdm_params, tx, ema_decay=args.ema_decay)
-        if mesh is not None:
+        state = create_train_state(
+            _place(fdm_params), tx, ema_decay=args.ema_decay
+        )
+        if mesh is not None and not args.fsdp:
             state = replicate_state(state, mesh)
         step = make_stage2_step(
             ld, tx, vq_params, mesh=mesh, ema_decay=args.ema_decay

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="save the EMA weights as the final artifact")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="micro-batches per optimizer update")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params + optimizer state 1/N over the "
+                             "data mesh (ZeRO-3) instead of replicating")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of early steps")
     return parser
@@ -91,8 +94,17 @@ def main(argv=None) -> int:
         default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay),
         args.grad_accum,
     )
+    if args.fsdp:
+        if mesh is None:
+            raise SystemExit(
+                "--fsdp needs a multi-device mesh (train.batch_size must "
+                "divide the device count)"
+            )
+        from fdm_tpu.parallel import place_fsdp_params
+
+        vq_params = place_fsdp_params(vq_params, mesh)
     state = create_train_state(vq_params, tx, ema_decay=args.ema_decay)
-    if mesh is not None:
+    if mesh is not None and not args.fsdp:
         state = replicate_state(state, mesh)
     step = make_stage1_step(ld, tx, mesh=mesh, ema_decay=args.ema_decay)
 

@@ -417,3 +417,18 @@ def test_preprocess_mead_audio(tmp_path, monkeypatch):
     monkeypatch.setattr(_shutil, "which", lambda _: None)
     with pytest.raises(SystemExit, match="ffmpeg"):
         ppa.main(["--src", str(tmp_path / "mead"), "--dst", str(dst)])
+
+
+def test_train_vqvae_fsdp(workdir):
+    """--fsdp trains with params + Adam moments ZeRO-sharded over the
+    8-device mesh; without a mesh (batch 1) it must fail loudly."""
+    import pytest
+
+    from fdm_tpu.cli import train_vqvae
+
+    args = BASE + ["--output_dir", "fsdp_t", "--epochs", "1",
+                   "--set", "train.batch_size=8", "--fsdp"]
+    assert train_vqvae.main(args) == 0
+
+    with pytest.raises(SystemExit, match="fsdp"):
+        train_vqvae.main(BASE + ["--output_dir", "fsdp_t2", "--fsdp"])

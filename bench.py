@@ -108,8 +108,18 @@ def build_generate(dataset: str, sampler: str, steps: int, seconds: float,
     return generate
 
 
-def bench_rtf(dataset, sampler, steps, seconds, repeats, fused, dtype):
-    generate = build_generate(dataset, sampler, steps, seconds, fused, dtype)
+def bench_rtf(dataset, sampler, steps, seconds, repeats, fused, dtype,
+              batch_size=1):
+    """Per-clip real-time factor: wall / (batch_size * clip_seconds).
+
+    batch_size > 1 is batched offline generation — the reference can only
+    run one clip at a time (batch 1 everywhere); batching the whole
+    pipeline amortizes the sequential denoise steps across clips on the
+    MXU. Per-clip RTF keeps both cases comparable against the 0.1x target.
+    """
+    generate = build_generate(
+        dataset, sampler, steps, seconds, fused, dtype, batch_size
+    )
     out = generate(jax.random.PRNGKey(0))  # compile + warmup
     out.block_until_ready()
     times = []
@@ -118,42 +128,16 @@ def bench_rtf(dataset, sampler, steps, seconds, repeats, fused, dtype):
         out = generate(jax.random.PRNGKey(i + 1))
         out.block_until_ready()
         times.append(time.perf_counter() - t0)
-    rtf = min(times) / seconds
+    rtf = min(times) / (seconds * batch_size)
+    tag = f"_b{batch_size}_per_clip" if batch_size > 1 else ""
     return {
-        "metric": f"{dataset}_e2e_{sampler}{steps}_rtf_v5e1",
+        "metric": f"{dataset}_e2e_{sampler}{steps}{tag}_rtf_v5e1",
         "value": round(rtf, 5),
-        "unit": "x_realtime (lower is better)",
-        "vs_baseline": round(0.1 / rtf, 3),
-    }
-
-
-def bench_throughput(dataset, sampler, steps, seconds, repeats, fused,
-                     dtype, batch_size=8):
-    """Batched offline generation: the reference can only run one clip at a
-    time (batch 1 everywhere); batching the whole pipeline amortizes the
-    sequential denoise steps across clips on the MXU. Reported as per-clip
-    RTF (wall / (B * clip_seconds)) so it compares directly against the
-    B=1 metric and the 0.1x target."""
-    generate = build_generate(
-        dataset, sampler, steps, seconds, fused, dtype, batch_size
-    )
-    out = generate(jax.random.PRNGKey(0))
-    out.block_until_ready()
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        out = generate(jax.random.PRNGKey(i + 1))
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    per_clip_rtf = min(times) / (seconds * batch_size)
-    return {
-        "metric": (
-            f"{dataset}_e2e_{sampler}{steps}_b{batch_size}"
-            f"_per_clip_rtf_v5e1"
+        "unit": (
+            "x_realtime per clip (lower is better)" if batch_size > 1
+            else "x_realtime (lower is better)"
         ),
-        "value": round(per_clip_rtf, 5),
-        "unit": "x_realtime per clip (lower is better)",
-        "vs_baseline": round(0.1 / per_clip_rtf, 3),
+        "vs_baseline": round(0.1 / rtf, 3),
     }
 
 
@@ -287,9 +271,9 @@ def main():
     )
     for suite in suites:
         if suite == "throughput":
-            records.append(bench_throughput(
+            records.append(bench_rtf(
                 "mead", "ddpm", args.steps, args.seconds, args.repeats,
-                args.fused, args.dtype, args.batch_size,
+                args.fused, args.dtype, batch_size=args.batch_size,
             ))
         elif suite == "train":
             records.extend(bench_train_step(

@@ -128,8 +128,8 @@ def main(argv=None) -> int:
     mesh = choose_mesh(cfg.train.batch_size)
     if args.fsdp and mesh is None:
         raise SystemExit(
-            "--fsdp needs a multi-device mesh (train.batch_size must "
-            "divide the device count)"
+            "--fsdp needs a multi-device mesh (train.batch_size must be "
+            "a multiple of the device count)"
         )
 
     def _place(params):

@@ -98,7 +98,7 @@ def main(argv=None) -> int:
         if mesh is None:
             raise SystemExit(
                 "--fsdp needs a multi-device mesh (train.batch_size must "
-                "divide the device count)"
+                "be a multiple of the device count)"
             )
         from fdm_tpu.parallel import place_fsdp_params
 

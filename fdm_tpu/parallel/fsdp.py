@@ -18,7 +18,6 @@ Memory: params + moments drop to 1/N per chip. Collectives ride ICI.
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -39,7 +38,7 @@ def _leaf_spec(leaf, axis_size: int, axis_name: str) -> P:
 
 def fsdp_shardings(params, mesh: Mesh, axis_name: str = "data"):
     """Pytree of NamedShardings mirroring `params` (ZeRO-3 placement)."""
-    axis_size = int(np.prod([mesh.shape[a] for a in (axis_name,)]))
+    axis_size = int(mesh.shape[axis_name])
     return jax.tree_util.tree_map(
         lambda leaf: NamedSharding(
             mesh, _leaf_spec(leaf, axis_size, axis_name)

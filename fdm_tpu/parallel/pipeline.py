@@ -140,7 +140,9 @@ def make_pp_denoise(ld, mesh: Mesh, num_microbatches: int,
         bias = ld.fdm.apply(fdm_params, x.shape[1], method="alibi_bias")
         B = x.shape[0]
         if B % M != 0:
-            raise ValueError(f"batch {B} must divide {M} microbatches")
+            raise ValueError(
+                f"batch {B} must be a multiple of num_microbatches={M}"
+            )
         b = B // M
         xs = x.reshape((M, b) + x.shape[1:])
         mems = mem.reshape((M, b) + mem.shape[1:])

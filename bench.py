@@ -141,9 +141,12 @@ def bench_rtf(dataset, sampler, steps, seconds, repeats, fused, dtype,
     }
 
 
-def bench_train_step(seconds=5.0, repeats=20, dtype="float32"):
-    """Full-size MEAD stage-2 e2e train step (reference regime: batch 1,
-    joint FDM + HuBERT-large transformer, frozen conv extractor + codec)."""
+def bench_train_step(seconds=5.0, repeats=20, dtype="float32",
+                     batch_size=1):
+    """Full-size MEAD stage-2 e2e train step (joint FDM + HuBERT-large
+    transformer, frozen conv extractor + codec). batch_size=1 is the
+    reference regime; larger batches show the MXU utilization the
+    reference's batch-1 loop can never reach."""
     from fdm_tpu.configs import get_config
     from fdm_tpu.models import LatentDiffusion
     from fdm_tpu.train import (
@@ -156,7 +159,7 @@ def bench_train_step(seconds=5.0, repeats=20, dtype="float32"):
         cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
         with_audio_encoder=True,
     )
-    B = 1
+    B = batch_size
     T = int(seconds * cfg.dataset.fps)
     sr = cfg.dataset.audio_sr
     key = jax.random.PRNGKey(0)
@@ -165,8 +168,12 @@ def bench_train_step(seconds=5.0, repeats=20, dtype="float32"):
     wav = jax.random.normal(
         jax.random.PRNGKey(1), (B, int(seconds * sr) + sr)
     ) * 0.1
-    style = jnp.eye(cfg.fdm.style_classes)[:B]
-    emo = jnp.eye(cfg.fdm.emotion_classes)[:B]
+    style = jnp.eye(cfg.fdm.style_classes)[
+        jnp.arange(B) % cfg.fdm.style_classes
+    ]
+    emo = jnp.eye(cfg.fdm.emotion_classes)[
+        jnp.arange(B) % cfg.fdm.emotion_classes
+    ]
 
     vq_params = jax.jit(ld.vqvae.init)(
         jax.random.PRNGKey(2), motion[:, :8], template, emo
@@ -220,14 +227,14 @@ def bench_train_step(seconds=5.0, repeats=20, dtype="float32"):
         pass
 
     out = [{
-        "metric": f"mead_stage2_e2e_train_b1_t{T}_steps_per_s_v5e1",
+        "metric": f"mead_stage2_e2e_train_b{B}_t{T}_steps_per_s_v5e1",
         "value": round(steps_per_s, 4),
         "unit": "steps/s (higher is better)",
         "vs_baseline": round(steps_per_s / 1.0, 3),
     }]
     if mfu is not None:
         out.append({
-            "metric": "mead_stage2_e2e_train_mfu_v5e1",
+            "metric": f"mead_stage2_e2e_train_b{B}_mfu_v5e1",
             "value": round(mfu, 2),
             "unit": "% of bf16 peak (xla-counted flops)",
             "vs_baseline": round(mfu / 10.0, 3),
@@ -278,6 +285,12 @@ def main():
         elif suite == "train":
             records.extend(bench_train_step(
                 repeats=max(args.repeats, 20), dtype=args.dtype,
+            ))
+            # batched training: utilization the reference's batch-1 loop
+            # cannot reach
+            records.extend(bench_train_step(
+                repeats=max(args.repeats, 10), dtype=args.dtype,
+                batch_size=8,
             ))
         elif suite == "mead":
             records.append(bench_rtf(

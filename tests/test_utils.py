@@ -52,3 +52,34 @@ def test_metric_logger_jsonl(tmp_path):
     lines = [json.loads(l) for l in open(logger.path)]
     assert lines[0]["kind"] == "step" and lines[0]["loss"] == 0.5
     assert lines[1]["kind"] == "epoch" and lines[1]["steps"] == 10
+
+
+def test_error_paths_raise_cleanly():
+    """User-facing misconfigurations fail with actionable messages."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from fdm_tpu.configs import get_config
+    from fdm_tpu.cli.common import parse_override
+
+    with pytest.raises(ValueError, match="unknown dataset"):
+        get_config("nope")
+    import argparse
+
+    with pytest.raises(argparse.ArgumentTypeError, match="section.field"):
+        parse_override("no_equals_sign")
+
+    # denoise with misaligned audio frames names both lengths
+    from test_pipeline import tiny_pipeline, init_pipeline
+
+    cfg = tiny_pipeline()
+    ld, _, fdm_params, motion, _, audio, style, emo = init_pipeline(cfg)
+    B, T = motion.shape[:2]
+    L = T * cfg.fdm.tokens_per_frame
+    x_t = jnp.zeros((B, L, cfg.vqvae.zquant_dim))
+    with pytest.raises(ValueError, match="must match latent"):
+        ld.fdm.apply(
+            fdm_params, x_t, jnp.zeros((B,), jnp.int32),
+            audio[:, :-1], style, emo, method="denoise",
+        )

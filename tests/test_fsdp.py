@@ -83,3 +83,34 @@ def test_fsdp_train_step_matches_single_device():
     assert not mu.sharding.is_fully_replicated
     shard_rows = k.addressable_shards[0].data.shape
     assert np.prod(shard_rows) == k.size // 8, (shard_rows, k.shape)
+
+
+def test_fsdp_state_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of a ZeRO-sharded TrainState preserves both the
+    values and the shardings (restore with a sharded target)."""
+    from fdm_tpu.train import create_train_state, default_optimizer
+    from fdm_tpu.utils.checkpoint import Checkpointer
+
+    cfg = tiny_pipeline()
+    _, _, fdm_params, *_ = init_pipeline(cfg)
+    mesh = make_mesh((8,))
+    tx = default_optimizer()
+    state = create_train_state(place_fsdp_params(fdm_params, mesh), tx)
+
+    ckpt = Checkpointer(str(tmp_path / "orbax"))
+    ckpt.save(7, state)
+    restored = ckpt.restore(target=state)
+    ckpt.close()
+
+    k0 = state.params["params"]["layer_0"]["linear1"]["kernel"]
+    k1 = restored.params["params"]["layer_0"]["linear1"]["kernel"]
+    assert k1.sharding == k0.sharding
+    assert not k1.sharding.is_fully_replicated
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mu0 = state.opt_state[0].mu["params"]["layer_0"]["linear1"]["kernel"]
+    mu1 = restored.opt_state[0].mu["params"]["layer_0"]["linear1"]["kernel"]
+    assert mu1.sharding == mu0.sharding

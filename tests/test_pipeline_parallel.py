@@ -61,3 +61,35 @@ def test_pp_rejects_indivisible_layers():
     mesh = make_mesh((3,), axis_names=("pipe",))
     with pytest.raises(ValueError, match="pipeline"):
         make_pp_denoise(ld, mesh, num_microbatches=2)
+
+
+def test_pp_denoise_gradients_match_plain():
+    """jax.grad through the shard_map pipeline (ppermute transposes to the
+    reverse permute) equals the single-device gradients — PP is usable for
+    training, not just inference."""
+    ld, fdm_params, x_t, t, audio, style, emo = _four_layer_setup()
+
+    def plain_loss(p):
+        out = ld.fdm.apply(p, x_t, t, audio, style, emo, method="denoise")
+        return jnp.sum(out ** 2)
+
+    g_want = jax.jit(jax.grad(plain_loss))(fdm_params)
+
+    mesh = make_mesh((4,), axis_names=("pipe",))
+    denoise_fn, prepare = make_pp_denoise(ld, mesh, num_microbatches=4)
+
+    def pp_loss(p):
+        fdm_p, staged = prepare(p)
+        out = denoise_fn(fdm_p, staged, x_t, t, audio, style, emo)
+        return jnp.sum(out ** 2)
+
+    g_got = jax.jit(jax.grad(pp_loss))(fdm_params)
+
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_want),
+        jax.tree_util.tree_leaves_with_path(g_got),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5, rtol=1e-3,
+            err_msg=str(path),
+        )

@@ -145,7 +145,13 @@ class FDM(nn.Module):
             )
         self.layers = layers
 
-        self._alibi = alibi_biased_mask(cfg.n_head, cfg.max_seq_len, cfg.alibi_period)
+        # fused mode regenerates the bias inside the Pallas kernel; building
+        # the (H, L, L) table anyway would bake an O(L^2) HLO constant into
+        # every program (66 MB at L=1440) and defeat the flash path's point
+        self._alibi = (
+            None if self.self_attn_mode == "fused"
+            else alibi_biased_mask(cfg.n_head, cfg.max_seq_len, cfg.alibi_period)
+        )
         if cfg.positional_encoding == "periodic":
             self._pe = periodic_positional_encoding(cfg.pe_period, D, cfg.max_seq_len)
         else:
@@ -226,8 +232,11 @@ class FDM(nn.Module):
         x = x + jnp.asarray(self._pe[:T], dtype=x.dtype)[None]
         return x, mem
 
-    def alibi_bias(self, T: int) -> jnp.ndarray:
-        """(H, T, T) causal-ALiBi self-attention bias slice."""
+    def alibi_bias(self, T: int):
+        """(H, T, T) causal-ALiBi self-attention bias slice (None in fused
+        mode — the Pallas kernel regenerates the bias on the fly)."""
+        if self._alibi is None:
+            return None
         return jnp.asarray(self._alibi[:, :T, :T])
 
     def denoise_head(self, x: jnp.ndarray, token_shape) -> jnp.ndarray:

@@ -138,6 +138,9 @@ def make_pp_denoise(ld, mesh: Mesh, num_microbatches: int,
             method="denoise_embed",
         )
         bias = ld.fdm.apply(fdm_params, x.shape[1], method="alibi_bias")
+        if bias is None:
+            # fused mode ignores the bias operand; keep shard_map specs happy
+            bias = jnp.zeros((1, 1, 1), x.dtype)
         B = x.shape[0]
         if B % M != 0:
             raise ValueError(

@@ -176,3 +176,28 @@ class TestFlashAttention:
         tile = alibi_attention_pallas(q, k, v, 25, interpret=True)
         np.testing.assert_allclose(np.asarray(flash), np.asarray(tile),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_fused_mode_builds_no_alibi_table():
+    """In fused mode the (H, L, L) ALiBi table is never materialized —
+    alibi_bias returns None and denoise still works (the kernel regenerates
+    the bias); the table would be an O(L^2) HLO constant at long L."""
+    import dataclasses
+
+    from test_pipeline import tiny_pipeline, init_pipeline
+    from fdm_tpu.models.fdm import FDM
+
+    cfg = tiny_pipeline().fdm
+    fdm = FDM(cfg, self_attn_mode="fused")
+    B, T = 1, 8
+    L, C = T * cfg.tokens_per_frame, cfg.feature_dim // cfg.tokens_per_frame
+    x_t = jax.random.normal(jax.random.PRNGKey(0), (B, L, C))
+    t = jnp.zeros((B,), jnp.int32)
+    audio = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.feature_dim))
+    style = jnp.eye(cfg.style_classes)[:B]
+    emo = jnp.eye(cfg.emotion_classes)[:B]
+    params = fdm.init(jax.random.PRNGKey(2), x_t, t, audio, style, emo,
+                      method="denoise")
+    assert fdm.apply(params, T, method="alibi_bias") is None
+    out = fdm.apply(params, x_t, t, audio, style, emo, method="denoise")
+    assert jnp.isfinite(out).all()

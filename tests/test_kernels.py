@@ -182,9 +182,7 @@ def test_fused_mode_builds_no_alibi_table():
     """In fused mode the (H, L, L) ALiBi table is never materialized —
     alibi_bias returns None and denoise still works (the kernel regenerates
     the bias); the table would be an O(L^2) HLO constant at long L."""
-    import dataclasses
-
-    from test_pipeline import tiny_pipeline, init_pipeline
+    from test_pipeline import tiny_pipeline
     from fdm_tpu.models.fdm import FDM
 
     cfg = tiny_pipeline().fdm

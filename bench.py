@@ -264,11 +264,16 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="model compute dtype (fp32 is the parity default)")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=None,
+                    help="timing repeats (default: 3; train suite 20/10)")
     args = ap.parse_args()
 
+    explicit_repeats = args.repeats
     if args.quick:
-        args.seconds, args.steps, args.repeats = 2.0, 50, 1
+        args.seconds, args.steps = 2.0, 50
+        args.repeats = explicit_repeats or 1
+    elif args.repeats is None:
+        args.repeats = 3
 
     records = []
     suites = (
@@ -283,13 +288,14 @@ def main():
                 args.fused, args.dtype, batch_size=args.batch_size,
             ))
         elif suite == "train":
+            # an explicit --repeats wins; otherwise 20/10 steady-state steps
             records.extend(bench_train_step(
-                repeats=max(args.repeats, 20), dtype=args.dtype,
+                repeats=explicit_repeats or 20, dtype=args.dtype,
             ))
             # batched training: utilization the reference's batch-1 loop
             # cannot reach
             records.extend(bench_train_step(
-                repeats=max(args.repeats, 10), dtype=args.dtype,
+                repeats=explicit_repeats or 10, dtype=args.dtype,
                 batch_size=8,
             ))
         elif suite == "mead":

@@ -248,9 +248,17 @@ class AudioFrontend:
         self.cfg = cfg
         self.encoder = AudioEncoder(enc_cfg)
         if params_path:
-            from fdm_tpu.utils.serialization import load_params
+            from fdm_tpu.utils.serialization import fill_missing, load_params
 
-            self.params = load_params(params_path)
+            # artifacts saved before a param existed (e.g. masked_spec_embed
+            # predates SpecAugment support) get the missing leaves from a
+            # fresh init instead of crashing at apply time
+            template = jax.jit(self.encoder.init)(
+                jax.random.PRNGKey(seed), jnp.zeros((1, 3200))
+            )
+            self.params = fill_missing(
+                load_params(params_path), template, label="audio params"
+            )
         else:
             samples = 3200
             self.params = self.encoder.init(

@@ -6,12 +6,20 @@ ffmpeg-backed audioread path (reference datasets/data_loader_mead.py audio
 read); neither librosa nor an ffmpeg binary ships in every environment, so
 here the decode is an explicit one-time preprocessing step:
 
-  python -m fdm_tpu preprocess-mead-audio --src <MEAD_root> --dst <out>/wav
+  python -m fdm_tpu preprocess-mead-audio --src <MEAD_root>/AUDIO \
+      --dst <MEAD_root>/AUDIO
+
+With --dst equal to --src the 16 kHz wav lands NEXT TO each source clip —
+exactly where the MEAD loader looks for it (fdm_tpu/data/mead.py reads
+`<audio_path minus extension>.wav`). A separate --dst mirrors the tree for
+archival use but the loader will not find it there.
 
 Sources already in .wav are resampled in-process (scipy polyphase, no
 external binary). Compressed .m4a/.mp4/.aac need a decoder: ffmpeg when on
 PATH, or any command template via --converter
-(e.g. --converter 'avconv -i {src} -ar {sr} -ac 1 {dst}').
+(e.g. --converter 'avconv -i {src} -ar {sr} -ac 1 {dst}'). Outputs are
+written to a temp name and renamed on success, so an interrupted run never
+leaves a truncated wav that a re-run would skip as complete.
 """
 
 from __future__ import annotations
@@ -111,6 +119,7 @@ def process(src: str, dst: str, sr: int, flatten: bool,
     if not files:
         raise SystemExit(f"no .wav/.m4a audio under {src!r}")
     done = skipped = 0
+    seen = {}
     for path in files:
         rel = os.path.relpath(path, src)
         out_rel = (
@@ -119,14 +128,39 @@ def process(src: str, dst: str, sr: int, flatten: bool,
         out = os.path.join(
             dst, os.path.splitext(out_rel)[0] + ".wav"
         )
+        if out in seen:
+            # MEAD reuses clip basenames across speakers/emotions/levels;
+            # silently skipping the collision would drop clips
+            raise SystemExit(
+                f"--flatten collision: {path!r} and {seen[out]!r} both map "
+                f"to {out!r}; drop --flatten to mirror the source tree"
+            )
+        seen[out] = path
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-        if os.path.exists(out):
+        if os.path.abspath(out) == os.path.abspath(path):
+            # in-place run over a source wav: skip if already at target
+            # rate, else resample over it (tmp + rename keeps it atomic)
+            from scipy.io import wavfile
+
+            in_sr, _ = wavfile.read(path)
+            if in_sr == sr:
+                skipped += 1
+                continue
+        elif os.path.exists(out):
             skipped += 1
             continue
-        if path.lower().endswith(".wav"):
-            resample_wav(path, out, sr)
-        else:
-            convert_compressed(path, out, sr, converter)
+        # temp name + atomic rename: a killed/failed conversion must not
+        # leave a truncated file the next run would count as done
+        tmp = os.path.splitext(out)[0] + ".converting.wav"
+        try:
+            if path.lower().endswith(".wav"):
+                resample_wav(path, tmp, sr)
+            else:
+                convert_compressed(path, tmp, sr, converter)
+            os.replace(tmp, out)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         done += 1
     return done, skipped
 

@@ -54,8 +54,34 @@ def _load_lib(path: str = _LIB_PATH):
     ]
     lib.fdm_prefetcher_next.restype = ctypes.c_int
     lib.fdm_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+    _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.fdm_raster_gouraud.argtypes = [
+        _f32p, _f32p, _f32p,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int, _f32p, _f32p,
+    ]
+    lib.fdm_raster_gouraud.restype = None
     _lib = lib
     return lib
+
+
+def raster_gouraud(tri_pix: np.ndarray, tri_z: np.ndarray,
+                   tri_shade: np.ndarray, ok: np.ndarray,
+                   size: int, img: np.ndarray, zbuf: np.ndarray) -> bool:
+    """Z-buffered Gouraud fill of pre-projected triangles into img/zbuf
+    (in place). Returns False when the native library isn't built — the
+    caller falls back to the numpy loop."""
+    lib = _load_lib()
+    if lib is None:
+        return False
+    lib.fdm_raster_gouraud(
+        np.ascontiguousarray(tri_pix, np.float32),
+        np.ascontiguousarray(tri_z, np.float32),
+        np.ascontiguousarray(tri_shade, np.float32),
+        np.ascontiguousarray(ok, np.uint8),
+        tri_pix.shape[0], size, img, zbuf,
+    )
+    return True
 
 
 def build_native(force: bool = False) -> bool:

@@ -93,7 +93,9 @@ def initialize_distributed(
             raise
         # auto-detect path: single-process / already initialized / no
         # cluster env: fine
-    if explicit and jax.process_count() != (num_processes or 1):
+    # only check the cluster size when the caller actually pinned it —
+    # coordinator_address alone with env-provided counts is a valid pattern
+    if num_processes is not None and jax.process_count() != num_processes:
         raise RuntimeError(
             f"distributed init formed {jax.process_count()} processes, "
             f"expected {num_processes} — was the backend already "

@@ -114,6 +114,9 @@ def render_sequence(
     dataset: str = "vocaset",
     z_offset: float = 0.0,
     background_black: bool = False,
+    rot: Optional[np.ndarray] = None,   # axis-angle pre-rotation about the
+                                        # first frame's centroid
+                                        # (reference render.py:41,128)
 ) -> Iterable[np.ndarray]:
     """Yield one frame per timestep.
 
@@ -132,7 +135,7 @@ def render_sequence(
         for t in range(verts.shape[0]):
             yield render_frame_voca(
                 verts[t], faces, dataset=dataset, size=size,
-                t_center=t_center, z_offset=z_offset,
+                rot=rot, t_center=t_center, z_offset=z_offset,
                 background_black=background_black,
             )
         return

@@ -161,6 +161,20 @@ def render_frame_voca(
     ok &= (maxs[:, 0] >= 0) & (mins[:, 0] < size)
     ok &= (maxs[:, 1] >= 0) & (mins[:, 1] < size)
 
+    # hot loop: C++ rasterizer from the native runtime when built
+    # (~100x the python loop at FLAME face counts), numpy fallback below
+    from fdm_tpu.data.native import raster_gouraud
+
+    if not raster_gouraud(tri_pix, tri_z, tri_shade, ok, size, img, zbuf):
+        _raster_numpy(tri_pix, tri_z, tri_shade, ok, size, img, zbuf)
+
+    gray = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    return np.stack([gray, gray, gray], axis=-1)
+
+
+def _raster_numpy(tri_pix, tri_z, tri_shade, ok, size, img, zbuf) -> None:
+    """Pure-numpy z-buffered barycentric fill (identical math to the C++
+    fdm_raster_gouraud; used when native/libfdm_native.so isn't built)."""
     for i in np.nonzero(ok)[0]:
         p = tri_pix[i]
         x0 = max(int(np.floor(p[:, 0].min())), 0)
@@ -195,6 +209,3 @@ def render_frame_voca(
         )
         sub_z[upd] = z[upd].astype(np.float32)
         img[y0:y1, x0:x1][upd] = s[upd].astype(np.float32)
-
-    gray = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
-    return np.stack([gray, gray, gray], axis=-1)

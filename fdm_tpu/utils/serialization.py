@@ -30,3 +30,31 @@ def load_params(path: str):
     import jax.numpy as jnp
 
     return jax.tree_util.tree_map(jnp.asarray, restored)
+
+
+def fill_missing(params, template, label: str = "params"):
+    """Add leaves that `template` (a fresh module init) has but `params`
+    (a restored artifact) lacks — forward compatibility for artifacts saved
+    before a parameter existed (e.g. audio encoders converted before the
+    SpecAugment `masked_spec_embed` param was introduced). Returns a new
+    tree; prints each filled path."""
+    import copy
+
+    filled = []
+
+    def rec(p, t, path):
+        for k, tv in t.items():
+            if isinstance(tv, dict):
+                rec(p.setdefault(k, {}), tv, path + (str(k),))
+            elif k not in p:
+                p[k] = tv
+                filled.append("/".join(path + (str(k),)))
+
+    out = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, params))
+    rec(out, template, ())
+    if filled:
+        print(
+            f"{label}: filled {len(filled)} missing parameter(s) from "
+            f"fresh init (pre-upgrade artifact): {', '.join(filled)}"
+        )
+    return out

@@ -53,6 +53,11 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # proto encodes negative int64 as 10-byte two's complement; no
+        # caller here legitimately passes one (steps/lengths/tags), and
+        # Python's arithmetic shift would loop forever below
+        raise ValueError(f"varint requires a non-negative int, got {n}")
     out = bytearray()
     while True:
         b = n & 0x7F

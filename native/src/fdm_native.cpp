@@ -10,7 +10,9 @@
 //
 // Build: `make -C native` -> native/libfdm_native.so
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -296,6 +298,61 @@ int fdm_wav_load_pcm16(const char* path, int16_t** data, int64_t* n,
 }
 
 void fdm_free(void* p) { free(p); }
+
+// ---- Gouraud triangle rasterizer (host render path) ----
+//
+// The z-buffered barycentric fill for fdm_tpu/render/voca_rig.py: the
+// per-triangle loop is the hot part of offline mesh rendering (FLAME ~10k
+// faces x 800x800 x T frames) and runs ~100x faster here than as a Python
+// loop. Inputs are the pre-projected, pre-culled triangle attributes;
+// img/zbuf are caller-initialized (background / +inf).
+
+void fdm_raster_gouraud(const float* tri_pix,   // (F, 3, 2) pixel xy
+                        const float* tri_z,     // (F, 3) camera depth
+                        const float* tri_shade, // (F, 3) vertex gray
+                        const uint8_t* ok,      // (F,) 1 = rasterize
+                        int64_t nfaces, int size,
+                        float* img,             // (size*size)
+                        float* zbuf) {          // (size*size)
+  for (int64_t i = 0; i < nfaces; ++i) {
+    if (!ok[i]) continue;
+    const float* p = tri_pix + i * 6;
+    const float ax = p[0], ay = p[1], bx = p[2], by = p[3];
+    const float cx = p[4], cy = p[5];
+    const double den =
+        (double)(by - cy) * (ax - cx) + (double)(cx - bx) * (ay - cy);
+    if (std::fabs(den) < 1e-12) continue;
+    int x0 = (int)std::floor(std::min(ax, std::min(bx, cx)));
+    int x1 = (int)std::ceil(std::max(ax, std::max(bx, cx))) + 1;
+    int y0 = (int)std::floor(std::min(ay, std::min(by, cy)));
+    int y1 = (int)std::ceil(std::max(ay, std::max(by, cy))) + 1;
+    x0 = std::max(x0, 0); y0 = std::max(y0, 0);
+    x1 = std::min(x1, size); y1 = std::min(y1, size);
+    if (x0 >= x1 || y0 >= y1) continue;
+    const float za = tri_z[i * 3], zb = tri_z[i * 3 + 1],
+                zc = tri_z[i * 3 + 2];
+    const float sa = tri_shade[i * 3], sb = tri_shade[i * 3 + 1],
+                sc = tri_shade[i * 3 + 2];
+    for (int y = y0; y < y1; ++y) {
+      const double gy = y + 0.5;
+      float* imrow = img + (int64_t)y * size;
+      float* zrow = zbuf + (int64_t)y * size;
+      for (int x = x0; x < x1; ++x) {
+        const double gx = x + 0.5;
+        const double w0 =
+            ((by - cy) * (gx - cx) + (cx - bx) * (gy - cy)) / den;
+        const double w1 =
+            ((cy - ay) * (gx - cx) + (ax - cx) * (gy - cy)) / den;
+        const double w2 = 1.0 - w0 - w1;
+        if (w0 < 0.0 || w1 < 0.0 || w2 < 0.0) continue;
+        const float z = (float)(w0 * za + w1 * zb + w2 * zc);
+        if (z >= zrow[x]) continue;
+        zrow[x] = z;
+        imrow[x] = (float)(w0 * sa + w1 * sb + w2 * sc);
+      }
+    }
+  }
+}
 
 // ---- prefetcher ----
 

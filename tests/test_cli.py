@@ -432,3 +432,33 @@ def test_train_vqvae_fsdp(workdir):
 
     with pytest.raises(SystemExit, match="fsdp"):
         train_vqvae.main(BASE + ["--output_dir", "fsdp_t2", "--fsdp"])
+
+
+def test_preprocess_mead_audio_flatten_collision_and_atomicity(tmp_path):
+    """--flatten must fail loudly when basenames collide (MEAD reuses clip
+    names across speakers), and a failed conversion leaves no output for a
+    re-run to skip as complete."""
+    import numpy as np
+    import pytest
+    from scipy.io import wavfile
+
+    from fdm_tpu.cli import preprocess_mead_audio as ppa
+
+    src = tmp_path / "AUDIO"
+    (src / "M003" / "angry").mkdir(parents=True)
+    (src / "M005" / "happy").mkdir(parents=True)
+    tone = (np.sin(np.arange(1600) / 10.0) * 0.3).astype(np.float32)
+    wavfile.write(str(src / "M003" / "angry" / "001.wav"), 48000, tone)
+    wavfile.write(str(src / "M005" / "happy" / "001.wav"), 48000, tone)
+
+    with pytest.raises(SystemExit, match="collision"):
+        ppa.process(str(src), str(tmp_path / "flat"), 16000, True, None)
+
+    # in-place run resamples wrong-rate wavs over themselves (that's where
+    # the MEAD loader looks); the second run sees 16 kHz and skips
+    done, skipped = ppa.process(str(src), str(src), 16000, False, None)
+    assert done == 2 and skipped == 0
+    sr, data = wavfile.read(str(src / "M003" / "angry" / "001.wav"))
+    assert sr == 16000 and len(data) > 0
+    done2, skipped2 = ppa.process(str(src), str(src), 16000, False, None)
+    assert done2 == 0 and skipped2 == 2

@@ -83,3 +83,30 @@ def test_error_paths_raise_cleanly():
             fdm_params, x_t, jnp.zeros((B,), jnp.int32),
             audio[:, :-1], style, emo, method="denoise",
         )
+
+
+def test_fill_missing_restores_new_params():
+    """Artifacts saved before a parameter existed get the missing leaves
+    from a fresh init (e.g. pre-SpecAugment audio encoders lacking
+    masked_spec_embed)."""
+    import jax.numpy as jnp
+
+    from fdm_tpu.utils.serialization import fill_missing
+
+    template = {"params": {"a": jnp.ones((2,)), "new": jnp.full((3,), 7.0),
+                           "sub": {"w": jnp.zeros((2, 2))}}}
+    old = {"params": {"a": jnp.full((2,), 5.0)}}
+    out = fill_missing(old, template)
+    assert float(out["params"]["a"][0]) == 5.0          # kept
+    assert float(out["params"]["new"][0]) == 7.0        # filled
+    assert out["params"]["sub"]["w"].shape == (2, 2)    # nested filled
+    assert "new" not in old["params"]                   # input untouched
+
+
+def test_tb_varint_rejects_negative():
+    import pytest
+
+    from fdm_tpu.utils.tb_events import _varint
+
+    with pytest.raises(ValueError, match="non-negative"):
+        _varint(-1)

@@ -5,7 +5,12 @@ from fdm_tpu.codec.quantizer import (
     quantize,
     sample_logits,
 )
-from fdm_tpu.codec.vqvae import VQAutoEncoder, tokens_to_frames, frames_to_tokens
+from fdm_tpu.codec.vqvae import (
+    VQAutoEncoder,
+    downsample_frame_mask,
+    frames_to_tokens,
+    tokens_to_frames,
+)
 
 __all__ = [
     "QuantizerOutput",
@@ -16,4 +21,5 @@ __all__ = [
     "VQAutoEncoder",
     "tokens_to_frames",
     "frames_to_tokens",
+    "downsample_frame_mask",
 ]

@@ -123,27 +123,34 @@ def sample_logits(
     key: Optional[jax.Array] = None,
     sample: bool = True,
     temperature: float = 0.7,
-    top_p: float = 0.9,
+    top_p: Optional[float] = None,
 ):
     """Token sampling from codebook logits — reference VQAutoEncoder.get_logit
-    (models/vq_vae.py:110-133): temperature + nucleus(top_p) multinomial when
-    sampling, top-1 otherwise. Returns (indices (B, L), probs)."""
+    (models/vq_vae.py:110-133): temperature multinomial when sampling, top-1
+    otherwise. The reference accepts a top_p argument but never applies it
+    (dead parameter), so the default here is no nucleus filtering for
+    behavioral parity; pass top_p<1 to opt into a real nucleus filter.
+    Returns (indices (B, L), probs)."""
     logits = logits / temperature
     probs = jax.nn.softmax(logits, axis=-1)
     if not sample:
         return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
     if key is None:
         raise ValueError("sampling requires a PRNG key")
-    # nucleus filter: zero out everything past cumulative top_p mass
-    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
-    cum = jnp.cumsum(sorted_probs, axis=-1)
-    # per-position probability threshold: smallest prob inside the nucleus
-    inside = cum - sorted_probs < top_p
-    cutoff = jnp.min(
-        jnp.where(inside, sorted_probs, jnp.inf), axis=-1, keepdims=True
-    )
-    filtered = jnp.where(probs >= cutoff, probs, 0.0)
-    filtered = filtered / jnp.sum(filtered, axis=-1, keepdims=True)
+    if top_p is not None and top_p < 1.0:
+        # nucleus filter: zero out everything past cumulative top_p mass
+        sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+        cum = jnp.cumsum(sorted_probs, axis=-1)
+        # per-position probability threshold: smallest prob inside the
+        # nucleus
+        inside = cum - sorted_probs < top_p
+        cutoff = jnp.min(
+            jnp.where(inside, sorted_probs, jnp.inf), axis=-1, keepdims=True
+        )
+        filtered = jnp.where(probs >= cutoff, probs, 0.0)
+        filtered = filtered / jnp.sum(filtered, axis=-1, keepdims=True)
+    else:
+        filtered = probs
     indices = jax.random.categorical(
         key, jnp.log(filtered + 1e-20), axis=-1
     ).astype(jnp.int32)

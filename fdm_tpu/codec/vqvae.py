@@ -52,6 +52,20 @@ def tokens_to_frames(z: jnp.ndarray, tokens_per_frame: int) -> jnp.ndarray:
     return z.reshape(B, L // tokens_per_frame, tokens_per_frame * D)
 
 
+def downsample_frame_mask(mask: jnp.ndarray, quant_factor: int) -> jnp.ndarray:
+    """Full-frame-rate mask (B, T) -> latent-rate mask matching the
+    ConvSquasher's length arithmetic: the first stride-2 conv keeps
+    ceil(T/2) frames, each further max-pool stage keeps floor(L/2).
+    Identity for quant_factor == 0 (every shipped preset)."""
+    for i in range(quant_factor):
+        if i == 0:
+            mask = mask[:, ::2]
+        else:
+            L = mask.shape[1]
+            mask = mask[:, : (L // 2) * 2 : 2]
+    return mask
+
+
 class PreLNTransformer(nn.Module):
     """The reference's stage-1 transformer backbone: alternating
     Residual(LN -> Attention) and Residual(LN -> MLP) blocks with exact GELU
@@ -150,8 +164,9 @@ class ConvSquasher(nn.Module):
     in_affine: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        """Returns (x, mask) — the mask downsampled to x's frame rate so
+        downstream stages (transformer, quantizer) mask at the right rate."""
         if self.quant_factor == 0:
             x = replicate_pad_1d(x, 2)
             x = nn.Conv(
@@ -160,14 +175,14 @@ class ConvSquasher(nn.Module):
             )(x)
             x = nn.leaky_relu(x, self.neg_slope)
             x = _InstanceNorm(self.in_affine, name="norm_0")(x, mask)
-            return x
+            return x, mask
         x = replicate_pad_1d(x, 2)
         x = nn.Conv(
             self.hidden_size, (5,), strides=(2,), padding="VALID",
             dtype=self.dtype, name="conv_0",
         )(x)
         x = nn.leaky_relu(x, self.neg_slope)
-        mask = mask[:, ::2] if mask is not None else None
+        mask = mask[:, ::2] if mask is not None else None  # ceil(L/2)
         x = _InstanceNorm(self.in_affine, name="norm_0")(x, mask)
         for i in range(1, self.quant_factor):
             x = replicate_pad_1d(x, 2)
@@ -178,8 +193,12 @@ class ConvSquasher(nn.Module):
             x = nn.leaky_relu(x, self.neg_slope)
             x = _InstanceNorm(self.in_affine, name=f"norm_{i}")(x, mask)
             x = nn.max_pool(x, (2,), strides=(2,))
-            mask = mask[:, ::2] if mask is not None else None
-        return x
+            if mask is not None:
+                # max_pool keeps floor(L/2) windows; a window is valid iff
+                # its first frame is (padding is contiguous at the tail)
+                L = mask.shape[1]
+                mask = mask[:, : (L // 2) * 2 : 2]
+        return x, mask
 
 
 class ConvExpander(nn.Module):
@@ -192,8 +211,9 @@ class ConvExpander(nn.Module):
     in_affine: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        """Takes x and its mask at the LATENT rate; returns (x, mask) with
+        both upsampled back toward the frame rate."""
         if self.quant_factor == 0:
             x = replicate_pad_1d(x, 2)
             x = nn.Conv(
@@ -202,7 +222,7 @@ class ConvExpander(nn.Module):
             )(x)
             x = nn.leaky_relu(x, self.neg_slope)
             x = _InstanceNorm(self.in_affine, name="norm_0")(x, mask)
-            return x
+            return x, mask
         x = nn.ConvTranspose(
             self.hidden_size, (5,), strides=(2,), padding="SAME",
             dtype=self.dtype, name="deconv_0",
@@ -220,7 +240,7 @@ class ConvExpander(nn.Module):
             x = _InstanceNorm(self.in_affine, name=f"norm_{i}")(x, mask)
             x = jnp.repeat(x, 2, axis=1)
             mask = jnp.repeat(mask, 2, axis=1) if mask is not None else None
-        return x
+        return x, mask
 
 
 class VQEncoder(nn.Module):
@@ -251,7 +271,7 @@ class VQEncoder(nn.Module):
             # (B, classes) -> broadcast over time like the reference's
             # (B, 1, C) + (B, L, C) add (vq_vae_emotion.py:189-190)
             x = x + e[:, None, :]
-        x = ConvSquasher(
+        x, latent_mask = ConvSquasher(
             cfg.hidden_size, cfg.quant_factor, cfg.neg_slope, self.dtype,
             cfg.in_affine, name="squasher",
         )(x, frame_mask)
@@ -262,7 +282,7 @@ class VQEncoder(nn.Module):
         x = PreLNTransformer(
             cfg.hidden_size, cfg.num_hidden_layers, cfg.num_attention_heads,
             cfg.intermediate_size, self.dtype, name="transformer",
-        )(x, frame_mask)
+        )(x, latent_mask)
         if cfg.post_pre_linear:
             x = nn.Dense(
                 cfg.latent_frame_dim, dtype=self.dtype, name="post_transformer"
@@ -285,14 +305,30 @@ class VQDecoder(nn.Module):
                  frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.config
         x = tokens_to_frames(z_q_tokens, cfg.face_quan_num)
-        if frame_mask is not None:
-            x = fill_padding_with_edge(x, frame_mask)
+        # the decoder input is at the LATENT frame rate; callers pass the
+        # full-frame-rate mask, downsample it to match
+        latent_mask = (
+            downsample_frame_mask(frame_mask, cfg.quant_factor)
+            if frame_mask is not None else None
+        )
+        if latent_mask is not None:
+            if cfg.quant_factor == 0:
+                # the k5 conv uses replicate padding at the sequence end, so
+                # edge-filling the batch padding reproduces the unpadded
+                # computation exactly
+                x = fill_padding_with_edge(x, latent_mask)
+            else:
+                # the stride-2 ConvTranspose zero-pads implicitly beyond the
+                # input; zero-filling the batch padding matches it exactly
+                # (bit-equal for quant_factor=1; the extra replicate-pad conv
+                # stages of quant_factor>=2 still differ in the last frames)
+                x = x * latent_mask[..., None].astype(x.dtype)
         if cfg.post_pre_linear:
             x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_expander")(x)
-        x = ConvExpander(
+        x, up_mask = ConvExpander(
             cfg.hidden_size, cfg.quant_factor, cfg.neg_slope, self.dtype,
             cfg.in_affine, name="expander",
-        )(x, frame_mask)
+        )(x, latent_mask)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_transformer")(x)
         x = x + jnp.asarray(
             sinusoidal_table(1, cfg.hidden_size)[0], dtype=self.dtype
@@ -300,7 +336,7 @@ class VQDecoder(nn.Module):
         x = PreLNTransformer(
             cfg.hidden_size, cfg.num_hidden_layers, cfg.num_attention_heads,
             cfg.intermediate_size, self.dtype, name="transformer",
-        )(x, frame_mask)
+        )(x, up_mask)
         x = nn.Dense(
             self.out_dim, use_bias=cfg.decoder_out_bias, dtype=self.dtype,
             name="vertice_map_reverse",

@@ -125,7 +125,9 @@ class MetricAccumulator:
                         for k, v in regions.items()}
         self.fdd_region = fdd_region
         self._frame_errors: Dict[str, list] = {k: [] for k in self.regions}
-        self._frame_errors["all"] = []
+        # the automatic full-vertex per-frame max gets its own series so a
+        # user region named 'all' cannot interleave with it
+        self._full_max_frames: list = []
         self._mve_frames: list = []
         self._fdd_terms: list = []
         self._abs_fdd_terms: list = []
@@ -140,15 +142,13 @@ class MetricAccumulator:
         self.num_frames += T
         self.num_sequences += 1
 
-        err = np.sum(np.square(gt - pred), axis=-1)  # (T, V)
-        self._frame_errors["all"].append(err.max(axis=1))
+        self._full_max_frames.append(region_vertex_error(gt, pred))
         for name, region in self.regions.items():
             reduce = "mean" if name in self.MEAN_REGIONS else "max"
-            r = err[:, region]
             self._frame_errors[name].append(
-                r.mean(axis=1) if reduce == "mean" else r.max(axis=1)
+                region_vertex_error(gt, pred, region, reduce)
             )
-        self._mve_frames.append(np.linalg.norm(gt - pred, axis=2).mean(axis=1))
+        self._mve_frames.append(mean_vertex_error(gt, pred))
 
         if self.fdd_region is not None and template is not None:
             term = fdd(gt, pred, template, self.regions[self.fdd_region])
@@ -160,13 +160,19 @@ class MetricAccumulator:
             "num_frames": float(self.num_frames),
             "num_sequences": float(self.num_sequences),
         }
+        if self._full_max_frames:
+            out["ave"] = float(np.mean(np.concatenate(self._full_max_frames)))
         name_map = {"face": "fve", "lip": "lve", "mouth": "lve",
-                    "emotion": "eme", "all": "ave"}
+                    "emotion": "eme"}
         for name, chunks in self._frame_errors.items():
-            if chunks:
-                out[name_map.get(name, name)] = float(
-                    np.mean(np.concatenate(chunks))
-                )
+            if not chunks:
+                continue
+            key = name_map.get(name, name)
+            if key in out:
+                # two regions mapping to one key ('lip' + 'mouth' both mean
+                # LVE): keep both, the second under its own region name
+                key = name
+            out[key] = float(np.mean(np.concatenate(chunks)))
         if self._mve_frames:
             out["mve"] = float(np.mean(np.concatenate(self._mve_frames)))
         if self._fdd_terms:

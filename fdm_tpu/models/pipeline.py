@@ -111,6 +111,18 @@ class LatentDiffusion:
             return hidden[:, :num_frames]
         return jnp.pad(hidden, ((0, 0), (0, num_frames - T), (0, 0)))
 
+    def _token_mask(self, frame_mask):
+        """(B, T) frame mask -> (B, latent_T * face_quan_num) token mask at
+        the quantizer's rate (latent_T < T when quant_factor > 0)."""
+        if frame_mask is None:
+            return None
+        from fdm_tpu.codec import downsample_frame_mask
+
+        latent = downsample_frame_mask(
+            frame_mask, self.config.vqvae.quant_factor
+        )
+        return jnp.repeat(latent, self.config.vqvae.face_quan_num, axis=1)
+
     # ---------------- stage 1 training ----------------
 
     def stage1_train_loss(
@@ -123,10 +135,7 @@ class LatentDiffusion:
     ) -> Tuple[jnp.ndarray, dict]:
         """VQ-VAE objective: masked L1 reconstruction + commitment/codebook
         loss (reference train/train_mead_vqvae.py:136-141)."""
-        token_mask = (
-            jnp.repeat(frame_mask, self.config.vqvae.face_quan_num, axis=1)
-            if frame_mask is not None else None
-        )
+        token_mask = self._token_mask(frame_mask)
         recon, quant_loss, perplexity = self.vqvae.apply(
             vq_params, motion, template, emotion_one_hot, token_mask,
             frame_mask,
@@ -207,10 +216,7 @@ class LatentDiffusion:
                 method="denoise",
             )
 
-        token_mask = (
-            jnp.repeat(frame_mask, cfg.vqvae.face_quan_num, axis=1)
-            if frame_mask is not None else None
-        )
+        token_mask = self._token_mask(frame_mask)
         denoise_loss, x_recon = p_losses(
             self.schedule, denoise_fn, latent, t, noise,
             loss_type=cfg.diffusion.loss_type, mask=token_mask,

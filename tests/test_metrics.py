@@ -165,3 +165,37 @@ def test_region_file_formats(tmp_path):
     np.testing.assert_array_equal(
         _load_region(p, weight_threshold=0.4), [1, 4]
     )
+
+
+def test_accumulator_all_region_and_lve_collision():
+    """A user region named 'all' must not corrupt the automatic full-vertex
+    'ave' series, and supplying both 'lip' and 'mouth' keeps both results
+    (round-2 review findings)."""
+    import numpy as np
+
+    from fdm_tpu.eval.metrics import MetricAccumulator
+
+    rng = np.random.default_rng(0)
+    gt = rng.normal(size=(4, 10, 3))
+    pred = gt + 0.1
+    sub = np.arange(3)
+    acc = MetricAccumulator(
+        regions={"all": sub, "lip": np.arange(2), "mouth": np.arange(4, 6)}
+    )
+    acc.update(gt, pred)
+    out = acc.result()
+    # 'ave' is the full-vertex max, not polluted by the subset region
+    err = np.sum(np.square(gt - pred), axis=-1)
+    np.testing.assert_allclose(out["ave"], err.max(axis=1).mean(), rtol=1e-6)
+    np.testing.assert_allclose(
+        out["all"], err[:, sub].max(axis=1).mean(), rtol=1e-6
+    )
+    # both lip-style regions survive: one under 'lve', the other under its
+    # own name
+    assert "lve" in out and "mouth" in out
+    np.testing.assert_allclose(
+        out["lve"], err[:, :2].max(axis=1).mean(), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        out["mouth"], err[:, 4:6].max(axis=1).mean(), rtol=1e-6
+    )

@@ -220,3 +220,74 @@ def test_sample_logits_nucleus():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sample_logits(logits, sample=True)
+
+
+def test_frame_mask_blocks_padding_leak_quant_factor():
+    """Same padded-batch exactness with quant_factor > 0: the conv squasher
+    halves the frame rate, so the transformer/quantizer masks must be the
+    DOWNSAMPLED mask and the decoder must derive the latent-rate mask from
+    the full-rate one (round-2 review finding)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config(), quant_factor=1)
+    model = VQAutoEncoder(cfg)
+    B, T, pad = 1, 8, 8
+    motion = jax.random.normal(jax.random.PRNGKey(0), (B, T, cfg.in_dim)) * 0.1
+    params = model.init(
+        jax.random.PRNGKey(1), motion, jnp.zeros((B, 1, cfg.in_dim)), None
+    )
+
+    z_exact = model.apply(params, motion, None, method="encode")
+    assert z_exact.shape[1] == (T // 2) * cfg.face_quan_num  # latent rate
+
+    padded = jnp.concatenate(
+        [motion, jnp.zeros((B, pad, cfg.in_dim))], axis=1
+    )
+    mask = jnp.concatenate(
+        [jnp.ones((B, T)), jnp.zeros((B, pad))], axis=1
+    )
+    z_masked = model.apply(params, padded, None, mask, method="encode")
+    L = (T // 2) * cfg.face_quan_num
+    np.testing.assert_allclose(
+        np.asarray(z_masked[:, :L]), np.asarray(z_exact),
+        atol=1e-5, rtol=1e-5,
+    )
+
+    # decoder: latent-rate padded input + FULL-rate mask must reproduce the
+    # unpadded decode on valid frames
+    q = model.apply(params, z_exact, method="quant")
+    dec_exact = model.apply(params, q.z_q, method="decode")
+    z_pad = jnp.concatenate(
+        [q.z_q,
+         jnp.zeros((B, (pad // 2) * cfg.face_quan_num, cfg.zquant_dim))],
+        axis=1,
+    )
+    dec_masked = model.apply(params, z_pad, mask, method="decode")
+    np.testing.assert_allclose(
+        np.asarray(dec_masked[:, :T]), np.asarray(dec_exact),
+        atol=1e-5, rtol=1e-5,
+    )
+
+    # the stage-1 loss runs end to end with a mask at quant_factor > 0
+    from fdm_tpu.configs import (
+        DatasetConfig, DiffusionConfig, FDMConfig, PipelineConfig,
+        TrainConfig,
+    )
+    from fdm_tpu.models import LatentDiffusion
+
+    pcfg = PipelineConfig(
+        dataset=DatasetConfig(emotion_classes=0, style_classes=5),
+        vqvae=cfg,
+        fdm=FDMConfig(
+            feature_dim=32, n_head=4, num_layers=1, audio_dim=12,
+            audio_pair_factor=2, tokens_per_frame=4, emotion_classes=0,
+            style_classes=5, num_timesteps=20, max_seq_len=40,
+        ),
+        diffusion=DiffusionConfig(timesteps=20, sample_steps=4, ddim_steps=4),
+        train=TrainConfig(),
+    )
+    ld = LatentDiffusion.create(pcfg)
+    loss, metrics = ld.stage1_train_loss(
+        params, padded, jnp.zeros((B, 1, cfg.in_dim)), None, mask
+    )
+    assert np.isfinite(float(loss))

@@ -96,9 +96,14 @@ def encoder_config_for(fdm_cfg, allow_tiny: bool = False) -> AudioEncoderConfig:
             f"allow_tiny=True (CLI: --tiny/--synthetic) to build a 2-layer "
             f"stand-in for smoke tests"
         )
+    # heads must divide the width; take the largest divisor <= dim//8
+    dim = fdm_cfg.audio_dim
+    heads = next(
+        h for h in range(max(1, dim // 8), 0, -1) if dim % h == 0
+    )
     return AudioEncoderConfig(
-        hidden_size=fdm_cfg.audio_dim, num_layers=2,
-        num_heads=max(1, fdm_cfg.audio_dim // 8),
+        hidden_size=dim, num_layers=2,
+        num_heads=heads,
         intermediate_size=2 * fdm_cfg.audio_dim,
         conv_dim=(fdm_cfg.audio_dim,) * 3,
         conv_kernel=(10, 8, 4), conv_stride=(5, 8, 4),
@@ -177,6 +182,9 @@ class EncoderLayer(nn.Module):
         self.fc1 = nn.Dense(cfg.intermediate_size, dtype=self.dtype)
         self.fc2 = nn.Dense(D, dtype=self.dtype)
         self.final_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype)
+        # HF applies hidden_dropout to the attention and FFN outputs before
+        # each residual add (training only)
+        self.drop = nn.Dropout(cfg.hidden_dropout)
 
     def _attention(self, x):
         cfg = self.config
@@ -196,13 +204,19 @@ class EncoderLayer(nn.Module):
     def _ffn(self, x):
         return self.fc2(jax.nn.gelu(self.fc1(x), approximate=False))
 
-    def __call__(self, x):
-        if self.config.do_stable_layer_norm:
-            x = x + self._attention(self.attn_ln(x))
-            x = x + self._ffn(self.final_ln(x))
+    def __call__(self, x, deterministic: bool = True, dropout_key=None):
+        if not deterministic and dropout_key is not None:
+            k1, k2 = jax.random.split(dropout_key)
+            d1 = lambda h: self.drop(h, deterministic=False, rng=k1)
+            d2 = lambda h: self.drop(h, deterministic=False, rng=k2)
         else:
-            x = self.attn_ln(x + self._attention(x))
-            x = self.final_ln(x + self._ffn(x))
+            d1 = d2 = lambda h: self.drop(h, deterministic=True)
+        if self.config.do_stable_layer_norm:
+            x = x + d1(self._attention(self.attn_ln(x)))
+            x = x + d2(self._ffn(self.final_ln(x)))
+        else:
+            x = self.attn_ln(x + d1(self._attention(x)))
+            x = self.final_ln(x + d2(self._ffn(x)))
         return x
 
 
@@ -227,7 +241,12 @@ class AudioEncoder(nn.Module):
         self.fp_proj = nn.Dense(cfg.hidden_size, dtype=self.dtype)
         self.pos_conv = PositionalConvEmbedding(cfg, self.dtype)
         self.enc_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype)
-        layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        self.fp_drop = nn.Dropout(cfg.feat_proj_dropout)
+        self.hidden_drop = nn.Dropout(cfg.hidden_dropout)
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(2,)) if self.remat
+            else EncoderLayer
+        )
         self.encoder_layers = [
             layer_cls(cfg, self.dtype, name=f"layer_{i}")
             for i in range(cfg.num_layers)
@@ -251,6 +270,7 @@ class AudioEncoder(nn.Module):
         features: jnp.ndarray,
         time_mask: Optional[jnp.ndarray] = None,
         feature_mask: Optional[jnp.ndarray] = None,
+        dropout_key: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
         """Conv features -> transformer hidden states.
 
@@ -258,9 +278,20 @@ class AudioEncoder(nn.Module):
         `masked_spec_embed`; `feature_mask` (B, hidden) zeroes masked
         channels across all frames (SpecAugment, reference
         models/hubert.py:112-130). Both are drawn by
-        fdm_tpu.audio.specaugment.sample_masks during training."""
+        fdm_tpu.audio.specaugment.sample_masks during training.
+        `dropout_key` additionally enables the HF training-time dropouts
+        (feat_proj_dropout, hidden_dropout)."""
+        training = dropout_key is not None
+        if training:
+            keys = jax.random.split(
+                dropout_key, 2 + len(self.encoder_layers)
+            )
         x = self.fp_ln(features)
         x = self.fp_proj(x)
+        x = self.fp_drop(
+            x, deterministic=not training,
+            rng=keys[0] if training else None,
+        )
         if time_mask is not None:
             x = jnp.where(
                 time_mask[..., None],
@@ -270,10 +301,16 @@ class AudioEncoder(nn.Module):
         if feature_mask is not None:
             x = jnp.where(feature_mask[:, None, :], 0.0, x)
         x = x + self.pos_conv(x)
+        x = self.hidden_drop(
+            x, deterministic=not training,
+            rng=keys[1] if training else None,
+        )
         if not self.config.do_stable_layer_norm:
             x = self.enc_ln(x)
-        for layer in self.encoder_layers:
-            x = layer(x)
+        for i, layer in enumerate(self.encoder_layers):
+            x = layer(
+                x, not training, keys[2 + i] if training else None
+            )
         if self.config.do_stable_layer_norm:
             x = self.enc_ln(x)
         return x
@@ -284,9 +321,13 @@ class AudioEncoder(nn.Module):
         even_trim: bool = True,
         specaugment_key: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
-        """Waveform -> hidden states. Passing `specaugment_key` enables
-        training-time SpecAugment masking — the JAX equivalent of the
-        reference's `self.training` branch (models/hubert.py:112)."""
+        """Waveform -> hidden states. Passing `specaugment_key` enables the
+        training-time regularization — SpecAugment masking AND the HF
+        dropouts (hidden/feat_proj) — the JAX equivalent of the reference's
+        `self.training` branch (models/hubert.py:112)."""
+        drop_key = None
+        if specaugment_key is not None:
+            specaugment_key, drop_key = jax.random.split(specaugment_key)
         feats = self.extract_features(wav)
         if even_trim and feats.shape[1] % 2 != 0:
             feats = feats[:, :-1]
@@ -307,4 +348,6 @@ class AudioEncoder(nn.Module):
                     mask_feature_length=cfg.mask_feature_length,
                 ),
             )
-        return self.encode_features(feats, time_mask, feature_mask)
+        return self.encode_features(
+            feats, time_mask, feature_mask, dropout_key=drop_key
+        )

@@ -81,7 +81,9 @@ def read_wav(path: str, target_sr: int = 16000, normalize: bool = True) -> np.nd
                         data, target_sr // g, sr // g
                     ).astype(np.float32)
                 if normalize:
-                    data = (data - data.mean()) / np.sqrt(data.var() + 1e-7)
+                    from fdm_tpu.audio.features import normalize_waveform
+
+                    data = normalize_waveform(data)
                 return data.astype(np.float32)
     except Exception:
         pass
@@ -101,7 +103,9 @@ def read_wav(path: str, target_sr: int = 16000, normalize: bool = True) -> np.nd
         g = np.gcd(int(sr), int(target_sr))
         data = resample_poly(data, target_sr // g, sr // g).astype(np.float32)
     if normalize:
-        data = (data - data.mean()) / np.sqrt(data.var() + 1e-7)
+        from fdm_tpu.audio.features import normalize_waveform
+
+        data = normalize_waveform(data)
     return data.astype(np.float32)
 
 
@@ -141,11 +145,21 @@ def collate_batch(
     batch.update(
         motion=motion, template=template, frame_mask=mask, style_one_hot=style
     )
-    if records[0].emotion_one_hot is not None:
+    # presence must be batch-consistent: keying off records[0] alone would
+    # crash or silently drop fields depending on shuffle order
+    have_emo = [r.emotion_one_hot is not None for r in records]
+    if any(have_emo) and not all(have_emo):
+        raise ValueError(
+            "batch mixes records with and without emotion_one_hot"
+        )
+    have_audio = [r.audio is not None for r in records]
+    if include_audio and any(have_audio) and not all(have_audio):
+        raise ValueError("batch mixes records with and without audio")
+    if all(have_emo):
         batch["emotion_one_hot"] = np.stack(
             [r.emotion_one_hot for r in records]
         ).astype(np.float32)
-    if include_audio and records[0].audio is not None:
+    if include_audio and all(have_audio):
         samples = int(T * sr / fps)
         audio = np.zeros((B, samples), np.float32)
         for i, r in enumerate(records):

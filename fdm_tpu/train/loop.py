@@ -47,6 +47,17 @@ def create_train_state(params, tx: optax.GradientTransformation,
     )
 
 
+def _check_ema(state: "TrainState", ema_decay: float) -> None:
+    """ema_decay is configured in two places (create_train_state and the
+    step maker); a state that carries ema_params with a step built at
+    decay 0 would silently track a plain copy — fail at trace time."""
+    if state.ema_params is not None and ema_decay <= 0.0:
+        raise ValueError(
+            "state carries ema_params but the train step was built with "
+            "ema_decay=0 — pass the same ema_decay to make_*_step"
+        )
+
+
 def _ema_update(ema_params, params, decay: float):
     """Exponential moving average of params (the reference keeps EMA only in
     its vestigial lucidrains Trainer, diffusion_mead_encoder_decoder.py:110-123
@@ -75,6 +86,8 @@ def make_stage1_step(
     batch: dict(motion, template[, emotion_one_hot][, frame_mask])."""
 
     def step(state: TrainState, batch) -> tuple:
+        _check_ema(state, ema_decay)
+
         def loss_fn(params):
             return ld.stage1_train_loss(
                 params,
@@ -116,6 +129,8 @@ def make_stage2_step(
     minutes of extra compile time on remote-compile backends)."""
 
     def step(state: TrainState, batch, key, vq_params) -> tuple:
+        _check_ema(state, ema_decay)
+
         def loss_fn(fdm_params):
             return ld.stage2_train_loss(
                 vq_params,
@@ -164,6 +179,8 @@ def make_stage2_e2e_step(
     `freeze_audio_conv_mask` + optax.masked to freeze the conv extractor."""
 
     def step(state: TrainState, batch, key, vq_params) -> tuple:
+        _check_ema(state, ema_decay)
+
         def loss_fn(params):
             return ld.stage2_train_loss_e2e(
                 vq_params,
@@ -301,14 +318,17 @@ class Trainer:
             else:
                 self.state, metrics = self.step_fn(self.state, batch)
             count += 1
+            # accumulate on device (jnp add dispatches async); float()-ing
+            # per step would block the host on every step's result and
+            # serialize collation with compute
             for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+                totals[k] = totals[k] + v if k in totals else v
             if self.logger is not None:
                 self.logger.log_step(
                     int(self.state.step), {k: float(v) for k, v in metrics.items()}
                 )
         elapsed = time.perf_counter() - t0
-        means = {k: v / max(count, 1) for k, v in totals.items()}
+        means = {k: float(v) / max(count, 1) for k, v in totals.items()}
         means["epoch"] = epoch
         means["steps"] = count
         means["steps_per_sec"] = count / elapsed if elapsed > 0 else 0.0

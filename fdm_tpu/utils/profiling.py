@@ -51,8 +51,13 @@ class StepTimer:
 
     @contextlib.contextmanager
     def measure(self, result_getter=None):
+        """Time the with-block. Pass result_getter=lambda: out to block on
+        the device result before the clock stops — without it only dispatch
+        time is measured (jitted calls return before the step finishes)."""
         t0 = time.perf_counter()
         yield
+        if result_getter is not None:
+            jax.block_until_ready(result_getter())
         elapsed = time.perf_counter() - t0
         self._seen += 1
         if self._seen > self.warmup:

@@ -45,7 +45,14 @@ def fill_missing(params, template, label: str = "params"):
     def rec(p, t, path):
         for k, tv in t.items():
             if isinstance(tv, dict):
-                rec(p.setdefault(k, {}), tv, path + (str(k),))
+                if k in p and not isinstance(p[k], dict):
+                    # artifact stored a leaf where the current module has a
+                    # subtree — irreconcilable; take the fresh subtree so
+                    # the model at least loads, and say so
+                    p[k] = tv
+                    filled.append("/".join(path + (str(k), "(replaced)")))
+                else:
+                    rec(p.setdefault(k, {}), tv, path + (str(k),))
             elif k not in p:
                 p[k] = tv
                 filled.append("/".join(path + (str(k),)))

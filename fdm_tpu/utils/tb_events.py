@@ -152,11 +152,17 @@ def read_records(path: str) -> Iterator[bytes]:
             if len(header) < 8:
                 return
             (length,) = struct.unpack("<Q", header)
-            (hcrc,) = struct.unpack("<I", fh.read(4))
+            hcrc_raw = fh.read(4)
+            if len(hcrc_raw) < 4:
+                return  # truncated tail (crashed writer): keep the prefix
+            (hcrc,) = struct.unpack("<I", hcrc_raw)
             if hcrc != _masked_crc(header):
                 raise ValueError(f"{path}: corrupt length crc")
             payload = fh.read(length)
-            (pcrc,) = struct.unpack("<I", fh.read(4))
+            pcrc_raw = fh.read(4)
+            if len(payload) < length or len(pcrc_raw) < 4:
+                return  # truncated tail: the complete records stand
+            (pcrc,) = struct.unpack("<I", pcrc_raw)
             if pcrc != _masked_crc(payload):
                 raise ValueError(f"{path}: corrupt payload crc")
             yield payload

@@ -171,3 +171,28 @@ def test_audio_encoder_remat_matches_plain():
         jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_training_mode_applies_dropout():
+    """hidden_dropout/feat_proj_dropout are live in training mode (the HF
+    reference regularizes fine-tuning): different keys give different
+    outputs, and eval mode is unaffected by the config knob."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_cfg(), hidden_dropout=0.5, feat_proj_dropout=0.2
+    )
+    enc = AudioEncoder(cfg)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (1, 800)) * 0.1
+    params = enc.init(jax.random.PRNGKey(1), wav)
+
+    t1 = enc.apply(params, wav, specaugment_key=jax.random.PRNGKey(2))
+    t2 = enc.apply(params, wav, specaugment_key=jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
+    # same key -> bit-identical (deterministic training step)
+    t1b = enc.apply(params, wav, specaugment_key=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t1b))
+    # eval is dropout-free regardless of the knob
+    e1 = enc.apply(params, wav)
+    e2 = enc.apply(params, wav)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))

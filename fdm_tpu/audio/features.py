@@ -55,6 +55,26 @@ def linear_interpolate_frames(
     return hidden[:, lo] * (1.0 - w) + hidden[:, hi] * w
 
 
+def align_hidden_frames(hidden: jnp.ndarray, fdm_cfg,
+                        num_frames: int) -> jnp.ndarray:
+    """Encoder-rate hidden states (B, N, D) -> exactly `num_frames`
+    animation frames: 50 Hz -> fps interpolation (VOCASET, quirk Q3) or
+    frame pairing (MEAD/BIWI) per the FDM config, then trim-or-zero-pad
+    (the reference trims to min(audio, vertice), fdm_vqvae_mead.py:75-77).
+    The single alignment policy shared by the training pipeline
+    (models/pipeline.py encode_audio) and the CLI AudioFrontend."""
+    if fdm_cfg.audio_interp_fps:
+        hidden = linear_interpolate_frames(
+            hidden, 50, fdm_cfg.audio_interp_fps, output_len=num_frames
+        )
+    elif fdm_cfg.audio_pair_factor > 1:
+        hidden = pair_frames(hidden, fdm_cfg.audio_pair_factor)
+    T = hidden.shape[1]
+    if T >= num_frames:
+        return hidden[:, :num_frames]
+    return jnp.pad(hidden, ((0, 0), (0, num_frames - T), (0, 0)))
+
+
 def frames_for_duration(num_samples: int, sr: int, fps: int) -> int:
     """Animation frame count for a clip (reference demo: len/sr*fps,
     demo/demo_3d_mead.py:104)."""

@@ -260,9 +260,10 @@ class AudioFrontend:
                 load_params(params_path), template, label="audio params"
             )
         else:
-            samples = 3200
-            self.params = self.encoder.init(
-                jax.random.PRNGKey(seed), jnp.zeros((1, samples))
+            # jitted: un-jitted flax init dispatches op-by-op (minutes on
+            # remote-compile backends, CLAUDE.md rule 3)
+            self.params = jax.jit(self.encoder.init)(
+                jax.random.PRNGKey(seed), jnp.zeros((1, 3200))
             )
         self._encode = jax.jit(
             lambda p, wav: self.encoder.apply(p, wav, even_trim=False)
@@ -270,26 +271,10 @@ class AudioFrontend:
 
     def __call__(self, audio: np.ndarray, num_frames: int) -> jnp.ndarray:
         """audio: (B, S) float32 16 kHz -> (B, num_frames, audio_dim*pair)."""
-        from fdm_tpu.audio import linear_interpolate_frames, pair_frames
+        from fdm_tpu.audio.features import align_hidden_frames
 
-        fdm, ds = self.cfg.fdm, self.cfg.dataset
         hidden = self._encode(self.params, jnp.asarray(audio))
-        if fdm.audio_interp_fps:
-            hidden = linear_interpolate_frames(
-                hidden, 50, fdm.audio_interp_fps, output_len=num_frames
-            )
-        elif fdm.audio_pair_factor > 1:
-            hidden = pair_frames(hidden, fdm.audio_pair_factor)
-        # trim/pad to exactly num_frames (the reference trims to
-        # min(audio, vertice), fdm_vqvae_mead.py:75-77)
-        T = hidden.shape[1]
-        if T >= num_frames:
-            hidden = hidden[:, :num_frames]
-        else:
-            hidden = jnp.pad(
-                hidden, ((0, 0), (0, num_frames - T), (0, 0))
-            )
-        return hidden
+        return align_hidden_frames(hidden, self.cfg.fdm, num_frames)
 
 
 # ---------------- parameter IO ----------------

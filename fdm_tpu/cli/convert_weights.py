@@ -53,8 +53,9 @@ def main(argv=None) -> int:
 
         sd = load_torch_state_dict(args.checkpoint)
         # the reference stores the FDM inside the GaussianDiffusion wrapper
-        # as denoise_fn.*; strip both that and a bare module prefix
-        for prefix in ("denoise_fn.", "module."):
+        # as denoise_fn.*; strip an outer DataParallel 'module.' FIRST so
+        # module.denoise_fn.* sheds both prefixes
+        for prefix in ("module.", "denoise_fn."):
             if any(k.startswith(prefix) for k in sd):
                 sd = {
                     k[len(prefix):]: v

@@ -146,6 +146,7 @@ def main(argv=None) -> int:
             return np.asarray(decoder(jnp.asarray(params)[None]))[0]
 
     results = {}
+    pred_cache = {}
     if args.gt_path:
         acc = MetricAccumulator(regions, fdd_region=fdd_region)
         matched = 0
@@ -159,12 +160,19 @@ def main(argv=None) -> int:
             gt = gt.reshape(gt.shape[0], -1, 3)
             template = templates(stem) if templates else None
             if template is None and fdd_region is not None:
-                template = np.zeros(gt.shape[1] * 3, np.float32)
+                # FDD measures motion-std relative to the neutral template;
+                # a fabricated zero template gives a wrong-but-plausible
+                # number — skip the metric and say so instead
+                print(
+                    f"note: no template for {stem!r}; FDD skipped for it "
+                    f"(pass --templates for FDD)"
+                )
             for fname in fnames:
                 pred = np.load(os.path.join(args.pred_path, fname))
                 pred = pred.astype(np.float32).reshape(pred.shape[0], -1, 3)
                 acc.update(gt, pred, template)
                 matched += 1
+                pred_cache[fname] = pred
         if matched == 0:
             raise SystemExit("no prediction/ground-truth name matches")
         results.update(acc.result())
@@ -173,6 +181,7 @@ def main(argv=None) -> int:
     for stem, fnames in sorted(groups.items()):
         if len(fnames) >= 2:
             preds = [
+                pred_cache[f] if f in pred_cache else
                 np.load(os.path.join(args.pred_path, f)).astype(np.float32)
                 for f in fnames
             ]

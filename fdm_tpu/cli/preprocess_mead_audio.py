@@ -58,6 +58,8 @@ def find_audio(src: str) -> List[str]:
     hits = []
     for root, _dirs, files in os.walk(src):
         for f in sorted(files):
+            if f.lower().endswith(".converting.wav"):
+                continue  # temp file from a hard-killed earlier run
             if f.lower().endswith(COMPRESSED + (".wav",)):
                 hits.append(os.path.join(root, f))
     return hits
@@ -129,12 +131,18 @@ def process(src: str, dst: str, sr: int, flatten: bool,
             dst, os.path.splitext(out_rel)[0] + ".wav"
         )
         if out in seen:
-            # MEAD reuses clip basenames across speakers/emotions/levels;
-            # silently skipping the collision would drop clips
-            raise SystemExit(
-                f"--flatten collision: {path!r} and {seen[out]!r} both map "
-                f"to {out!r}; drop --flatten to mirror the source tree"
-            )
+            if flatten:
+                # MEAD reuses clip basenames across speakers/emotions/
+                # levels; silently skipping the collision would drop clips
+                raise SystemExit(
+                    f"--flatten collision: {path!r} and {seen[out]!r} both "
+                    f"map to {out!r}; drop --flatten to mirror the source "
+                    f"tree"
+                )
+            # mirrored layout: a sibling .wav/.m4a pair with one stem (e.g.
+            # an in-place re-run after conversion) — the first claim stands
+            skipped += 1
+            continue
         seen[out] = path
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
         if os.path.abspath(out) == os.path.abspath(path):

@@ -67,6 +67,16 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     cfg = build_config(args)
     sampler = args.sampler or ("ddpm" if cfg.dataset.name == "mead" else "ddim")
+    if (
+        sampler == "ddpm" and args.steps
+        and args.steps < cfg.diffusion.timesteps
+    ):
+        print(
+            f"warning: ddpm with --steps {args.steps} < "
+            f"{cfg.diffusion.timesteps} TRUNCATES the ancestral chain "
+            f"(starts from unit noise at t={args.steps - 1}; quality will "
+            f"be degraded) — use --sampler ddim for step-count reduction"
+        )
 
     from fdm_tpu.data import collate_batch
     from fdm_tpu.models import LatentDiffusion

@@ -19,6 +19,7 @@ elsewhere (and under `interpret=True` for CPU tests).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -176,7 +177,9 @@ def alibi_attention_flash(
     B, H, T, hd = q.shape
     if slopes is None:
         slopes = alibi_slopes(H)
-    blk = max(block_q, block_k)
+    # Tp must be divisible by BOTH block sizes: the grid is Tp // block_q
+    # (a mere max() left tail q-blocks unwritten for non-divisible pairs)
+    blk = math.lcm(block_q, block_k)
     Tp = _round_up(T, blk)
     hdp = _round_up(hd, _LANE)
     pad = ((0, 0), (0, 0), (0, Tp - T), (0, hdp - hd))

@@ -91,25 +91,15 @@ class LatentDiffusion:
         HuBERT/wav2vec2 transformer; only the conv extractor is frozen,
         reference models/fdm_vqvae_mead.py:19). `specaugment_key` enables
         training-time SpecAugment masking (reference models/hubert.py:112)."""
-        from fdm_tpu.audio import linear_interpolate_frames, pair_frames
+        from fdm_tpu.audio.features import align_hidden_frames
 
         if self.audio_encoder is None:
             raise ValueError("pipeline built without with_audio_encoder=True")
-        fdm = self.config.fdm
         hidden = self.audio_encoder.apply(
             audio_params, wav, even_trim=False,
             specaugment_key=specaugment_key,
         )
-        if fdm.audio_interp_fps:
-            hidden = linear_interpolate_frames(
-                hidden, 50, fdm.audio_interp_fps, output_len=num_frames
-            )
-        elif fdm.audio_pair_factor > 1:
-            hidden = pair_frames(hidden, fdm.audio_pair_factor)
-        T = hidden.shape[1]
-        if T >= num_frames:
-            return hidden[:, :num_frames]
-        return jnp.pad(hidden, ((0, 0), (0, num_frames - T), (0, 0)))
+        return align_hidden_frames(hidden, self.config.fdm, num_frames)
 
     def _token_mask(self, frame_mask):
         """(B, T) frame mask -> (B, latent_T * face_quan_num) token mask at
@@ -174,7 +164,7 @@ class LatentDiffusion:
         (reference train/train_diffusion_mead.py:87-103)."""
         cfg = self.config
         B = motion.shape[0]
-        t_key, noise_key, cfg_key = jax.random.split(key, 3)
+        t_key, noise_key, cfg_key, drop_key = jax.random.split(key, 4)
 
         # stage 1 is frozen: no gradient reaches the codec parameters, but
         # gradients still flow through the decode activations to the FDM
@@ -211,9 +201,11 @@ class LatentDiffusion:
         )
 
         def denoise_fn(x_t, t_in):
+            # deterministic=False activates the decoder-layer dropout
+            # (reference nn.TransformerDecoderLayer trains with dropout=0.1)
             return self.fdm.apply(
                 fdm_params, x_t, t_in, audio_feat, style_in, emo_in,
-                method="denoise",
+                False, method="denoise", rngs={"dropout": drop_key},
             )
 
         token_mask = self._token_mask(frame_mask)

@@ -113,14 +113,29 @@ def test_metrics_cli(workdir, stage1_params, stage2_params, capsys):
         )
     np.save("lip.npy", np.arange(4))
     np.save("upper.npy", np.arange(4, 8))
+    # FDD needs an explicit template (fabricating zeros silently skews the
+    # motion-std statistic); a flat .npy template applies to every clip
+    any_pred = np.load(
+        os.path.join("diff_out", os.listdir("diff_out")[0])
+    )
+    np.save("tmpl.npy", np.zeros(any_pred.shape[-1], np.float32))
+    assert _run(
+        metrics,
+        ["--pred_path", "diff_out", "--gt_path", "gt",
+         "--lip_region", "lip.npy", "--upper_region", "upper.npy",
+         "--templates", "tmpl.npy", "--json"],
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for key in ("lve", "mve", "fdd", "abs_fdd", "diversity", "ave"):
+        assert key in out and np.isfinite(out[key])
+    # without templates FDD is skipped with a note instead of fabricated
     assert _run(
         metrics,
         ["--pred_path", "diff_out", "--gt_path", "gt",
          "--lip_region", "lip.npy", "--upper_region", "upper.npy", "--json"],
     ) == 0
-    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    for key in ("lve", "mve", "fdd", "abs_fdd", "diversity", "ave"):
-        assert key in out and np.isfinite(out[key])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "fdd" not in out2 and "lve" in out2
 
 
 def test_mead_demo_with_flame(workdir):

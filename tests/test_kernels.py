@@ -199,3 +199,24 @@ def test_fused_mode_builds_no_alibi_table():
     assert fdm.apply(params, T, method="alibi_bias") is None
     out = fdm.apply(params, x_t, t, audio, style, emo, method="denoise")
     assert jnp.isfinite(out).all()
+
+
+def test_flash_handles_non_divisible_block_pair():
+    """block_q that does not divide round_up(T, block_k) used to leave tail
+    q-blocks unwritten (NaN rows); Tp now rounds to lcm(block_q, block_k)."""
+    from fdm_tpu.kernels.attention import (
+        alibi_attention_flash, alibi_attention_xla,
+    )
+
+    B, H, T, hd = 1, 2, 120, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, T, hd))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, T, hd))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, hd))
+    got = alibi_attention_flash(
+        q, k, v, period=25, block_q=48, block_k=128, interpret=True
+    )
+    assert jnp.isfinite(got).all()
+    want = alibi_attention_xla(q, k, v, 25)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+    )

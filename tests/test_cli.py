@@ -477,3 +477,47 @@ def test_preprocess_mead_audio_flatten_collision_and_atomicity(tmp_path):
     assert sr == 16000 and len(data) > 0
     done2, skipped2 = ppa.process(str(src), str(src), 16000, False, None)
     assert done2 == 0 and skipped2 == 2
+
+
+def test_convert_weights_fdm_strips_double_prefix(workdir):
+    """module.denoise_fn.* (a DataParallel-wrapped GaussianDiffusion
+    checkpoint) sheds BOTH prefixes — 'module.' must strip first."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_fdm import TorchFDMReplica, small_cfg
+    from fdm_tpu.cli import convert_weights
+    from fdm_tpu.cli.common import load_params
+    from fdm_tpu.ops.masks import alibi_biased_mask
+    from fdm_tpu.ops.positional import sinusoidal_table
+
+    torch.manual_seed(3)
+    cfg = small_cfg()
+    alibi = torch.from_numpy(
+        alibi_biased_mask(cfg.n_head, cfg.max_seq_len, cfg.alibi_period)
+    )
+    pe = torch.from_numpy(sinusoidal_table(cfg.max_seq_len, cfg.feature_dim))
+    replica = TorchFDMReplica(cfg, alibi, pe).eval()
+    sd = {
+        "module.denoise_fn."
+        + k.replace("decoder.layers.", "transformer_decoder.layers."): v
+        for k, v in replica.state_dict().items()
+    }
+    torch.save({"model": sd}, "fdm_dp_ckpt.mpt")
+
+    overrides = []
+    for key, val in [
+        ("fdm.feature_dim", 32), ("fdm.n_head", 4), ("fdm.num_layers", 2),
+        ("fdm.audio_dim", 24), ("fdm.tokens_per_frame", 4),
+        ("fdm.num_timesteps", 50), ("fdm.max_seq_len", 40),
+        ("fdm.style_classes", 5),
+    ]:
+        overrides += ["--set", f"{key}={val}"]
+    assert convert_weights.main(
+        ["--kind", "fdm", "--dataset", "mead", "--checkpoint",
+         "fdm_dp_ckpt.mpt", "--output", "conv/fdm_dp.msgpack"] + overrides
+    ) == 0
+    params = load_params("conv/fdm_dp.msgpack")
+    assert "params" in params and len(params["params"]) > 0

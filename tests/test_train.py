@@ -272,3 +272,30 @@ def test_freeze_mask_is_layout_robust():
     assert mask["audio"]["params"]["wrapped"]["proj"]["k"] is True
     # 'feature_extractor' OUTSIDE the audio subtree stays trainable
     assert mask["fdm"]["params"]["feature_extractor"]["k"] is True
+
+
+def test_run_epoch_means_accumulate_on_device():
+    """Epoch means from the Trainer's device-side accumulation must equal
+    the per-step means computed on host (the totals are only materialized
+    once per epoch now)."""
+    import numpy as np
+
+    from fdm_tpu.train import Trainer, TrainState
+
+    class FakeStep:
+        def __init__(self):
+            self.i = 0
+
+        def __call__(self, state, batch):
+            self.i += 1
+            return state._replace(step=state.step + 1), {
+                "loss": jnp.asarray(float(self.i))
+            }
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params={}, opt_state={},
+    )
+    trainer = Trainer(FakeStep(), state)
+    means = trainer.run_epoch([{}, {}, {}], epoch=1)
+    np.testing.assert_allclose(means["loss"], (1 + 2 + 3) / 3.0)
+    assert means["steps"] == 3

@@ -1,20 +1,29 @@
 """Driver benchmark: per-dataset end-to-end inference RTF + training
 throughput on one TPU chip.
 
-Prints one JSON line PER METRIC:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
-The flagship metric (MEAD e2e DDPM-1000 RTF — the reference's headline
-inference configuration) is printed LAST so single-line consumers read it.
+Prints one JSON line PER METRIC, **immediately when it is measured** (a
+later suite crashing can never destroy an earlier number). A suite that
+fails emits an `{"metric": "<suite>_error", "error": ...}` record and the
+run continues; the process exits 0 as long as at least one real metric
+landed. The flagship metric (MEAD e2e DDPM-1000 RTF — the reference's
+headline inference configuration) is printed LAST so single-line consumers
+read it.
 
 Suites (reference configs per BASELINE.md):
-  mead    : HuBERT-large + 1000-step ancestral DDPM + EVQ decode, 24 fps
-            (diffusion_mead_encoder_decoder.py:663-665)
   biwi    : wav2vec2-base + 50-step DDIM + 70110-dim decode, 25 fps
             (samples/sample_diffusion_biwi.py:72)
   vocaset : HuBERT-large @30fps interp + 100-step DDIM, 16 tok/frame
             (samples/sample_diffusion_vocaset.py:80)
   train   : full-size MEAD stage-2 e2e step (HuBERT inside the program,
-            joint FDM+encoder training, frozen conv+codec), steps/s + MFU
+            joint FDM+encoder training, frozen conv+codec), steps/s + MFU,
+            at batch 1 (the reference regime) and batch 8
+  bf16    : dtype-tagged records — batch-8 bf16 train MFU (the best
+            utilization point) and B=1 bf16 MEAD RTF (documents the
+            measured result that bf16 does NOT help latency-bound B=1
+            sampling; see CLAUDE.md fact 13)
+  throughput : batch-8 MEAD generation, per-clip RTF
+  mead    : HuBERT-large + 1000-step ancestral DDPM + EVQ decode, 24 fps
+            (diffusion_mead_encoder_decoder.py:663-665)
 
 The timed inference region is the complete on-device pipeline from raw
 waveform to vertices in ONE compiled XLA program: audio encoding (the
@@ -25,23 +34,38 @@ steps x FDM denoise (lax.scan) -> quantize -> decode -> +template.
 RTF target (BASELINE.json): < 0.1x real time => vs_baseline = 0.1 / RTF.
 Training has no reference number (1x GPU, batch 1, no wall-clock published);
 vs_baseline is steps/s against a 1.0 steps/s engineering target.
+
+Crash posture (round-2 postmortem): every device array that enters a jitted
+function does so as an ARGUMENT — a closure-captured device array is baked
+into the program as an HLO constant, which (a) serializes the weights into
+the remote compile RPC (minutes per program, measured) and (b) requires a
+device->host fetch at lowering time that throws FailedPrecondition when the
+tunnel is wedged. Host-side inputs are built as numpy. One retry per suite
+on FAILED_PRECONDITION (the tunnel wedges and recovers, CLAUDE.md fact 8).
 """
 
 import argparse
 import json
 import time
 
-import jax
-import jax.numpy as jnp
+import numpy as np
 
 PEAK_BF16_FLOPS_V5E = 197e12  # one v5e chip, bf16 systolic peak
+
+
+def _dtag(dtype: str) -> str:
+    """Metric-name tag for non-default dtypes."""
+    return "_bf16" if dtype == "bfloat16" else ""
 
 
 def build_generate(dataset: str, sampler: str, steps: int, seconds: float,
                    fused: bool = False, dtype: str = "float32",
                    batch_size: int = 1):
     """Waveform->vertices pipeline for one dataset preset, audio encoder
-    included in the compiled program. Returns (generate_fn, seconds)."""
+    included in the compiled program. Returns a nullary-keyed generate fn."""
+    import jax
+    import jax.numpy as jnp
+
     from fdm_tpu.configs import get_config
     from fdm_tpu.models import LatentDiffusion
 
@@ -56,46 +80,44 @@ def build_generate(dataset: str, sampler: str, steps: int, seconds: float,
     )
 
     B = batch_size
-    template = jnp.zeros((B, 1, cfg.vqvae.in_dim))
-    style = jnp.eye(cfg.fdm.style_classes)[
-        jnp.arange(B) % cfg.fdm.style_classes
+    # conditioning inputs as HOST numpy — they reach the program only as jit
+    # arguments (see module docstring)
+    template = np.zeros((B, 1, cfg.vqvae.in_dim), np.float32)
+    style = np.eye(cfg.fdm.style_classes, dtype=np.float32)[
+        np.arange(B) % cfg.fdm.style_classes
     ]
     emo = (
-        jnp.eye(cfg.fdm.emotion_classes)[
-            jnp.arange(B) % cfg.fdm.emotion_classes
+        np.eye(cfg.fdm.emotion_classes, dtype=np.float32)[
+            np.arange(B) % cfg.fdm.emotion_classes
         ]
         if cfg.fdm.emotion_classes else None
     )
 
-    motion0 = jnp.zeros((B, 8, cfg.vqvae.in_dim))
+    motion0 = np.zeros((B, 8, cfg.vqvae.in_dim), np.float32)
     vq_params = jax.jit(ld.vqvae.init)(
         jax.random.PRNGKey(1), motion0, template[:, :1], emo
     )
     L = T * cfg.fdm.tokens_per_frame
     C = cfg.vqvae.zquant_dim
     pair = cfg.fdm.audio_pair_factor
-    audio_hidden0 = jnp.zeros((B, T, cfg.fdm.audio_dim * pair))
+    audio_hidden0 = np.zeros((B, T, cfg.fdm.audio_dim * pair), np.float32)
     fdm_params = jax.jit(ld.fdm.init)(
-        jax.random.PRNGKey(2), jnp.zeros((B, L, C)),
-        jnp.zeros((B,), jnp.int32), audio_hidden0, style, emo,
+        jax.random.PRNGKey(2), np.zeros((B, L, C), np.float32),
+        np.zeros((B,), np.int32), audio_hidden0, style, emo,
     )
     # +1 s zero-style pad like the reference demos so the conv stack yields
     # enough 50 Hz frames for pairing/interp
     num_samples = int(seconds * sr) + sr
     enc_params = jax.jit(ld.audio_encoder.init)(
-        jax.random.PRNGKey(3), jnp.zeros((B, 6400))
+        jax.random.PRNGKey(3), np.zeros((B, 6400), np.float32)
     )
-    wav = jax.random.normal(
-        jax.random.PRNGKey(4), (B, num_samples), jnp.float32
-    )
+    wav = np.random.default_rng(4).standard_normal(
+        (B, num_samples)
+    ).astype(np.float32)
 
-    # params/inputs are jit ARGUMENTS, never closure captures: a captured
-    # device array is baked into the program as an HLO constant, and on this
-    # backend serializing ~10^8 weight literals into the compile RPC takes
-    # minutes (measured: 8 min for the denoise scan alone) vs seconds as
-    # parameters.
     @jax.jit
-    def _generate(enc_params, vq_params, fdm_params, wav, k):
+    def _generate(enc_params, vq_params, fdm_params, wav, template, style,
+                  emo, k):
         audio_hidden = ld.encode_audio(enc_params, wav, T)
         return ld.generate(
             vq_params, fdm_params, k, audio_hidden, template, style,
@@ -103,7 +125,9 @@ def build_generate(dataset: str, sampler: str, steps: int, seconds: float,
         )
 
     def generate(k):
-        return _generate(enc_params, vq_params, fdm_params, wav, k)
+        return _generate(
+            enc_params, vq_params, fdm_params, wav, template, style, emo, k
+        )
 
     return generate
 
@@ -117,6 +141,8 @@ def bench_rtf(dataset, sampler, steps, seconds, repeats, fused, dtype,
     pipeline amortizes the sequential denoise steps across clips on the
     MXU. Per-clip RTF keeps both cases comparable against the 0.1x target.
     """
+    import jax
+
     generate = build_generate(
         dataset, sampler, steps, seconds, fused, dtype, batch_size
     )
@@ -131,7 +157,7 @@ def bench_rtf(dataset, sampler, steps, seconds, repeats, fused, dtype,
     rtf = min(times) / (seconds * batch_size)
     tag = f"_b{batch_size}_per_clip" if batch_size > 1 else ""
     return {
-        "metric": f"{dataset}_e2e_{sampler}{steps}{tag}_rtf_v5e1",
+        "metric": f"{dataset}_e2e_{sampler}{steps}{tag}_rtf{_dtag(dtype)}_v5e1",
         "value": round(rtf, 5),
         "unit": (
             "x_realtime per clip (lower is better)" if batch_size > 1
@@ -147,6 +173,9 @@ def bench_train_step(seconds=5.0, repeats=20, dtype="float32",
     transformer, frozen conv extractor + codec). batch_size=1 is the
     reference regime; larger batches show the MXU utilization the
     reference's batch-1 loop can never reach."""
+    import jax
+    import jax.numpy as jnp
+
     from fdm_tpu.configs import get_config
     from fdm_tpu.models import LatentDiffusion
     from fdm_tpu.train import (
@@ -162,24 +191,26 @@ def bench_train_step(seconds=5.0, repeats=20, dtype="float32",
     B = batch_size
     T = int(seconds * cfg.dataset.fps)
     sr = cfg.dataset.audio_sr
-    key = jax.random.PRNGKey(0)
-    motion = jax.random.normal(key, (B, T, cfg.vqvae.in_dim)) * 0.01
-    template = jnp.zeros((B, 1, cfg.vqvae.in_dim))
-    wav = jax.random.normal(
-        jax.random.PRNGKey(1), (B, int(seconds * sr) + sr)
-    ) * 0.1
-    style = jnp.eye(cfg.fdm.style_classes)[
-        jnp.arange(B) % cfg.fdm.style_classes
+    rng = np.random.default_rng(0)
+    motion = (rng.standard_normal((B, T, cfg.vqvae.in_dim)) * 0.01).astype(
+        np.float32
+    )
+    template = np.zeros((B, 1, cfg.vqvae.in_dim), np.float32)
+    wav = (rng.standard_normal((B, int(seconds * sr) + sr)) * 0.1).astype(
+        np.float32
+    )
+    style = np.eye(cfg.fdm.style_classes, dtype=np.float32)[
+        np.arange(B) % cfg.fdm.style_classes
     ]
-    emo = jnp.eye(cfg.fdm.emotion_classes)[
-        jnp.arange(B) % cfg.fdm.emotion_classes
+    emo = np.eye(cfg.fdm.emotion_classes, dtype=np.float32)[
+        np.arange(B) % cfg.fdm.emotion_classes
     ]
 
     vq_params = jax.jit(ld.vqvae.init)(
         jax.random.PRNGKey(2), motion[:, :8], template, emo
     )
     enc_params = jax.jit(ld.audio_encoder.init)(
-        jax.random.PRNGKey(3), jnp.zeros((B, 6400))
+        jax.random.PRNGKey(3), np.zeros((B, 6400), np.float32)
     )
     audio_hidden = jax.jit(
         lambda p, w: ld.encode_audio(p, w, T)
@@ -187,8 +218,8 @@ def bench_train_step(seconds=5.0, repeats=20, dtype="float32",
     L = T * cfg.fdm.tokens_per_frame
     C = cfg.vqvae.zquant_dim
     fdm_params = jax.jit(ld.fdm.init)(
-        jax.random.PRNGKey(4), jnp.zeros((B, L, C)),
-        jnp.zeros((B,), jnp.int32), audio_hidden, style, emo,
+        jax.random.PRNGKey(4), np.zeros((B, L, C), np.float32),
+        np.zeros((B,), np.int32), audio_hidden, style, emo,
     )
 
     params = {"fdm": fdm_params, "audio": enc_params}
@@ -209,37 +240,83 @@ def bench_train_step(seconds=5.0, repeats=20, dtype="float32",
     dt = (time.perf_counter() - t0) / repeats
     steps_per_s = 1.0 / dt
 
-    # rough MFU from XLA's own flop count for the compiled step
-    mfu = None
-    try:
-        jitted = getattr(step, "jitted", None)
-        if jitted is not None:
-            cost = (
-                jitted.lower(state, batch, jax.random.PRNGKey(0), vq_params)
-                .compile().cost_analysis()
-            )
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            flops = float(cost.get("flops", 0.0))
-            if flops > 0:
-                mfu = flops * steps_per_s / PEAK_BF16_FLOPS_V5E * 100.0
-    except Exception:
-        pass
-
+    # batch-1 fp32 keeps the round-1 metric names (driver continuity);
+    # batched / bf16 variants are suffixed
+    btag = "b1" if B == 1 else f"b{B}"
+    dtag = _dtag(dtype)
     out = [{
-        "metric": f"mead_stage2_e2e_train_b{B}_t{T}_steps_per_s_v5e1",
+        "metric": f"mead_stage2_e2e_train_{btag}_t{T}_steps_per_s{dtag}_v5e1",
         "value": round(steps_per_s, 4),
         "unit": "steps/s (higher is better)",
         "vs_baseline": round(steps_per_s / 1.0, 3),
     }]
-    if mfu is not None:
+
+    # MFU from XLA's own flop count for the compiled step; a lowering /
+    # cost-analysis failure is SURFACED as an error record, never swallowed
+    mfu_name = (
+        f"mead_stage2_e2e_train_mfu{dtag}_v5e1" if B == 1
+        else f"mead_stage2_e2e_train_b{B}_mfu{dtag}_v5e1"
+    )
+    try:
+        cost = (
+            step.jitted.lower(state, batch, jax.random.PRNGKey(0), vq_params)
+            .compile().cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops <= 0:
+            raise ValueError("cost_analysis returned no flops")
+        mfu = flops * steps_per_s / PEAK_BF16_FLOPS_V5E * 100.0
         out.append({
-            "metric": f"mead_stage2_e2e_train_b{B}_mfu_v5e1",
+            "metric": mfu_name,
             "value": round(mfu, 2),
             "unit": "% of bf16 peak (xla-counted flops)",
             "vs_baseline": round(mfu / 10.0, 3),
         })
+    except Exception as e:  # noqa: BLE001 — surfaced, not swallowed
+        out.append({
+            "metric": mfu_name, "value": None,
+            "unit": "% of bf16 peak (xla-counted flops)",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        })
     return out
+
+
+def emit(record):
+    print(json.dumps(record), flush=True)
+
+
+def run_suite(name: str, fn) -> bool:
+    """Run one suite; emit its record(s) the moment they exist. On a
+    FAILED_PRECONDITION (wedged axon tunnel, CLAUDE.md fact 8) wait and
+    retry once; any terminal failure emits an error record and the run
+    continues. Returns True iff a real metric landed."""
+    for attempt in (0, 1):
+        try:
+            records = fn()
+            if isinstance(records, dict):
+                records = [records]
+            ok = False
+            for rec in records:
+                emit(rec)
+                ok = ok or ("error" not in rec)
+            return ok
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            msg = f"{type(e).__name__}: {e}"
+            wedged = (
+                "FAILED_PRECONDITION" in msg or "FailedPrecondition" in msg
+            )
+            if attempt == 0 and wedged:
+                time.sleep(90)  # tunnel recovers on its own; then retry
+                continue
+            emit({
+                "metric": f"{name}_error", "value": None, "unit": "",
+                "vs_baseline": None, "error": msg[:500],
+            })
+            return False
+    return False
 
 
 def main():
@@ -255,7 +332,7 @@ def main():
                     help="reduced steps/length MEAD-only smoke run")
     ap.add_argument("--only", default=None,
                     choices=["mead", "biwi", "vocaset", "train",
-                             "throughput"],
+                             "throughput", "bf16"],
                     help="run a single suite")
     ap.add_argument("--batch_size", type=int, default=8,
                     help="clips per batch for the throughput suite")
@@ -275,47 +352,58 @@ def main():
     elif args.repeats is None:
         args.repeats = 3
 
-    records = []
     suites = (
         [args.only] if args.only
         else (["mead"] if args.quick
-              else ["biwi", "vocaset", "train", "throughput", "mead"])
+              else ["biwi", "vocaset", "train", "bf16", "throughput",
+                    "mead"])
     )
+    any_ok = False
     for suite in suites:
         if suite == "throughput":
-            records.append(bench_rtf(
+            ok = run_suite("mead_throughput", lambda: bench_rtf(
                 "mead", "ddpm", args.steps, args.seconds, args.repeats,
                 args.fused, args.dtype, batch_size=args.batch_size,
             ))
         elif suite == "train":
             # an explicit --repeats wins; otherwise 20/10 steady-state steps
-            records.extend(bench_train_step(
+            ok = run_suite("train_b1", lambda: bench_train_step(
                 repeats=explicit_repeats or 20, dtype=args.dtype,
             ))
             # batched training: utilization the reference's batch-1 loop
             # cannot reach
-            records.extend(bench_train_step(
+            ok = run_suite("train_b8", lambda: bench_train_step(
                 repeats=explicit_repeats or 10, dtype=args.dtype,
                 batch_size=8,
+            )) or ok
+        elif suite == "bf16":
+            # dtype-tagged records: best-utilization train point + the
+            # documented bf16-doesn't-help-B=1-latency inference result
+            ok = run_suite("train_b8_bf16", lambda: bench_train_step(
+                repeats=explicit_repeats or 10, dtype="bfloat16",
+                batch_size=8,
             ))
+            ok = run_suite("mead_bf16", lambda: bench_rtf(
+                "mead", "ddpm", args.steps, args.seconds, args.repeats,
+                args.fused, "bfloat16",
+            )) or ok
         elif suite == "mead":
-            records.append(bench_rtf(
+            ok = run_suite("mead", lambda: bench_rtf(
                 "mead", "ddpm", args.steps, args.seconds, args.repeats,
                 args.fused, args.dtype,
             ))
         elif suite == "biwi":
-            records.append(bench_rtf(
+            ok = run_suite("biwi", lambda: bench_rtf(
                 "biwi", "ddim", 50, args.seconds, args.repeats,
                 args.fused, args.dtype,
             ))
         elif suite == "vocaset":
-            records.append(bench_rtf(
+            ok = run_suite("vocaset", lambda: bench_rtf(
                 "vocaset", "ddim", 100, args.seconds, args.repeats,
                 args.fused, args.dtype,
             ))
-
-    for rec in records:
-        print(json.dumps(rec), flush=True)
+        any_ok = any_ok or ok
+    raise SystemExit(0 if any_ok else 1)
 
 
 if __name__ == "__main__":

@@ -44,15 +44,21 @@ from fdm_tpu.ops.positional import periodic_positional_encoding, sinusoidal_tabl
 
 class TorchMHA(nn.Module):
     """Multi-head attention with torch nn.MultiheadAttention semantics
-    (per-head 1/sqrt(head_dim) scaling, packed-equivalent q/k/v/out Denses)."""
+    (per-head 1/sqrt(head_dim) scaling, packed-equivalent q/k/v/out Denses,
+    and training-time dropout ON THE SOFTMAX WEIGHTS — torch MHA applies
+    `dropout` to the attention probabilities, F.multi_head_attention_forward,
+    which the reference enables via nn.TransformerDecoderLayer(dropout=0.1),
+    reference models/fdm_vqvae_mead.py:46-47)."""
 
     dim: int
     n_head: int
     dtype: jnp.dtype = jnp.float32
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x, mem, bias: Optional[jnp.ndarray] = None,
-                 fused_alibi_period: Optional[int] = None):
+                 fused_alibi_period: Optional[int] = None,
+                 deterministic: bool = True):
         """x: (B, T, D) queries; mem: (B, S, D) keys/values;
         bias: additive attention bias (H, T, S) or (T, S).
         fused_alibi_period: when set (self-attention only), dispatch to the
@@ -70,6 +76,12 @@ class TorchMHA(nn.Module):
         if fused_alibi_period is not None:
             from fdm_tpu.kernels import alibi_attention
 
+            if not deterministic and self.dropout > 0.0:
+                raise ValueError(
+                    "fused attention is an inference path: it never "
+                    "materializes the softmax weights, so weight dropout "
+                    "cannot be applied — train with self_attn_mode='table'"
+                )
             out = alibi_attention(q, k, v, fused_alibi_period)
             out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
             return nn.Dense(D, dtype=self.dtype, name="out")(out)
@@ -79,6 +91,12 @@ class TorchMHA(nn.Module):
                 bias = bias[None]
             logits = logits + bias[None].astype(logits.dtype)
         attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.dropout > 0.0:
+            # torch drops the probabilities themselves; rows no longer sum
+            # to 1 (surviving entries rescaled by 1/(1-p))
+            attn = nn.Dropout(rate=self.dropout)(
+                attn, deterministic=deterministic
+            )
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         return nn.Dense(D, dtype=self.dtype, name="out")(out)
@@ -89,21 +107,36 @@ class AlignedCrossAttention(nn.Module):
     memory mask (fdm_tpu.ops.masks.enc_dec_diagonal_allowed): the only
     attendable key for frame t is audio frame t, so softmax weight is 1 and
     the q/k projections cancel out of the math. Parameters q/k still exist so
-    reference checkpoints load; they are unused in this mode."""
+    reference checkpoints load; they are unused in this mode.
+
+    Training-time weight dropout stays representable: torch applies dropout
+    to the (B, H, T, S) probability matrix, whose only nonzero entry per
+    (b, h, t) row is the diagonal weight 1 — Bernoulli-dropping that single
+    weight with 1/(1-p) rescale is mathematically identical, implemented as
+    a per-(b, t, h) mask on the head-split values."""
 
     dim: int
     n_head: int
     dtype: jnp.dtype = jnp.float32
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mem):
-        D = self.dim
+    def __call__(self, x, mem, deterministic: bool = True):
+        D, H = self.dim, self.n_head
         # q/k are mathematically cancelled by the singleton softmax; calling
         # them keeps the params registered for checkpoint loading and XLA
         # dead-code-eliminates the unused GEMMs.
         _ = nn.Dense(D, dtype=self.dtype, name="q")(x)
         _ = nn.Dense(D, dtype=self.dtype, name="k")(mem)
         v = nn.Dense(D, dtype=self.dtype, name="v")(mem)
+        if self.dropout > 0.0 and not deterministic:
+            B, S, _ = v.shape
+            # one Bernoulli per (batch, frame, head) — exactly the diagonal
+            # of torch's per-element weight dropout — broadcast over head_dim
+            w = nn.Dropout(rate=self.dropout)(
+                jnp.ones((B, S, H, 1), v.dtype), deterministic=False
+            )
+            v = (v.reshape(B, S, H, D // H) * w).reshape(B, S, D)
         return nn.Dense(D, dtype=self.dtype, name="out")(v)
 
 
@@ -303,11 +336,17 @@ class _DecoderLayer(nn.Module):
     alibi_period: int = 30
 
     def setup(self):
-        self.self_attn = TorchMHA(self.dim, self.n_head, self.dtype)
+        self.self_attn = TorchMHA(
+            self.dim, self.n_head, self.dtype, dropout=self.dropout
+        )
         if self.cross_mode == "fast":
-            self.cross_attn = AlignedCrossAttention(self.dim, self.n_head, self.dtype)
+            self.cross_attn = AlignedCrossAttention(
+                self.dim, self.n_head, self.dtype, dropout=self.dropout
+            )
         else:
-            self.cross_attn = TorchMHA(self.dim, self.n_head, self.dtype)
+            self.cross_attn = TorchMHA(
+                self.dim, self.n_head, self.dtype, dropout=self.dropout
+            )
         self.linear1 = nn.Dense(self.ffn_dim, dtype=self.dtype)
         self.linear2 = nn.Dense(self.dim, dtype=self.dtype)
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -317,18 +356,21 @@ class _DecoderLayer(nn.Module):
 
     def __call__(self, x, mem, self_bias, deterministic=True):
         if self.self_attn_mode == "fused":
-            h = self.self_attn(x, x, fused_alibi_period=self.alibi_period)
+            h = self.self_attn(
+                x, x, fused_alibi_period=self.alibi_period,
+                deterministic=deterministic,
+            )
         else:
-            h = self.self_attn(x, x, self_bias)
+            h = self.self_attn(x, x, self_bias, deterministic=deterministic)
         x = self.norm1(x + self.drop(h, deterministic=deterministic))
         if self.cross_mode == "fast":
-            h = self.cross_attn(x, mem)
+            h = self.cross_attn(x, mem, deterministic=deterministic)
         else:
             T, S = x.shape[1], mem.shape[1]
             # diagonal alignment: -inf off the diagonal (general path)
             allowed = jnp.eye(T, S, dtype=bool)
             bias = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
-            h = self.cross_attn(x, mem, bias)
+            h = self.cross_attn(x, mem, bias, deterministic=deterministic)
         x = self.norm2(x + self.drop(h, deterministic=deterministic))
         h = self.linear2(
             self.drop(

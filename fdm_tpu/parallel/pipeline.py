@@ -61,8 +61,11 @@ def make_pp_denoise(ld, mesh: Mesh, num_microbatches: int,
     prepare_params(fdm_params) -> (fdm_params, staged) where `staged` holds
     the decoder-layer parameters reshaped to (S, layers_per_stage, ...) for
     sharding on the pipe axis. denoise_fn(fdm_params, staged, x_t, t,
-    audio_feat, style, emo) reproduces FDM.denoise exactly (deterministic
-    mode), with the layer stack pipelined over the mesh."""
+    audio_feat, style, emo) reproduces FDM.denoise exactly in
+    DETERMINISTIC (inference) mode — the pipeline path is sampling-only and
+    never applies the decoder-layer dropout; training goes through the
+    jitted DP/FSDP steps (fdm_tpu.train). denoise_fn(deterministic=False)
+    raises rather than silently dropping the dropout regime."""
     from fdm_tpu.models.fdm import _DecoderLayer
 
     cfg = ld.config.fdm
@@ -132,7 +135,12 @@ def make_pp_denoise(ld, mesh: Mesh, num_microbatches: int,
         return jax.lax.psum(outs, axis)
 
     def denoise_fn(fdm_params, staged, x_t, t, audio_feat, style_one_hot,
-                   emotion_one_hot=None):
+                   emotion_one_hot=None, deterministic=True):
+        if not deterministic:
+            raise ValueError(
+                "pipeline-parallel denoise is inference-only "
+                "(deterministic); train with the DP/FSDP steps instead"
+            )
         x, mem = ld.fdm.apply(
             fdm_params, x_t, t, audio_feat, style_one_hot, emotion_one_hot,
             method="denoise_embed",

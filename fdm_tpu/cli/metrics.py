@@ -172,7 +172,11 @@ def main(argv=None) -> int:
                 pred = pred.astype(np.float32).reshape(pred.shape[0], -1, 3)
                 acc.update(gt, pred, template)
                 matched += 1
-                pred_cache[fname] = pred
+                # cache only what the diversity pass will reuse (groups of
+                # >=2 conditioned predictions); caching everything held the
+                # whole eval set in host memory on large runs
+                if len(fnames) >= 2:
+                    pred_cache[fname] = pred
         if matched == 0:
             raise SystemExit("no prediction/ground-truth name matches")
         results.update(acc.result())

@@ -147,10 +147,12 @@ def process(src: str, dst: str, sr: int, flatten: bool,
         os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
         if os.path.abspath(out) == os.path.abspath(path):
             # in-place run over a source wav: skip if already at target
-            # rate, else resample over it (tmp + rename keeps it atomic)
+            # rate, else resample over it (tmp + rename keeps it atomic).
+            # mmap avoids decoding the whole file just to read the header
+            # (a full-tree re-run reads every sample otherwise)
             from scipy.io import wavfile
 
-            in_sr, _ = wavfile.read(path)
+            in_sr, _ = wavfile.read(path, mmap=True)
             if in_sr == sr:
                 skipped += 1
                 continue

@@ -185,6 +185,12 @@ class ConvSquasher(nn.Module):
         mask = mask[:, ::2] if mask is not None else None  # ceil(L/2)
         x = _InstanceNorm(self.in_affine, name="norm_0")(x, mask)
         for i in range(1, self.quant_factor):
+            if mask is not None:
+                # the previous stage leaves garbage in the padding region;
+                # re-edge-fill so this k5 conv's valid tail outputs see
+                # exactly the frames the unpadded computation's replicate
+                # padding would give (padding is contiguous at the tail)
+                x = fill_padding_with_edge(x, mask)
             x = replicate_pad_1d(x, 2)
             x = nn.Conv(
                 self.hidden_size, (5,), padding="VALID", dtype=self.dtype,
@@ -231,6 +237,13 @@ class ConvExpander(nn.Module):
         mask = jnp.repeat(mask, 2, axis=1) if mask is not None else None
         x = _InstanceNorm(self.in_affine, name="norm_0")(x, mask)
         for i in range(1, self.quant_factor):
+            if mask is not None:
+                # same tail-exactness argument as the squasher: the deconv /
+                # previous stage left garbage in the padding region; valid
+                # outputs of this k5 conv read up to 2 frames past the valid
+                # end, which edge-fill makes identical to the unpadded
+                # computation's replicate padding
+                x = fill_padding_with_edge(x, mask)
             x = replicate_pad_1d(x, 2)
             x = nn.Conv(
                 self.hidden_size, (5,), padding="VALID", dtype=self.dtype,
@@ -320,8 +333,9 @@ class VQDecoder(nn.Module):
             else:
                 # the stride-2 ConvTranspose zero-pads implicitly beyond the
                 # input; zero-filling the batch padding matches it exactly
-                # (bit-equal for quant_factor=1; the extra replicate-pad conv
-                # stages of quant_factor>=2 still differ in the last frames)
+                # (the quant_factor>=2 replicate-pad conv stages re-edge-fill
+                # inside ConvExpander, so every depth is exact on the valid
+                # prefix — pinned by tests/test_vqvae.py)
                 x = x * latent_mask[..., None].astype(x.dtype)
         if cfg.post_pre_linear:
             x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="pre_expander")(x)

@@ -288,6 +288,7 @@ class Trainer:
         rng: Optional[jax.Array] = None,
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (2, 5),
+        log_flush_every: int = 64,
     ):
         self.step_fn = step_fn
         self.state = state
@@ -297,6 +298,11 @@ class Trainer:
         self.checkpoint_every = checkpoint_every
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.needs_rng = None  # inferred on first batch
+        # per-step metrics are buffered as DEVICE arrays and converted for
+        # the logger only every `log_flush_every` steps (and at epoch end):
+        # float()-ing each step's metrics would block the host on every
+        # step's result and serialize collation with compute
+        self.log_flush_every = max(1, log_flush_every)
         # jax.profiler trace of steps [start, stop) in epoch 1 (step 1 is
         # the compile; SURVEY.md §5.1 — the reference has no tracing at all)
         self.profile_dir = profile_dir
@@ -305,6 +311,11 @@ class Trainer:
 
     def run_epoch(self, data_iter, epoch: int) -> dict:
         totals, count = {}, 0
+        pending = []  # buffered per-step device metrics awaiting the logger
+        # one host sync BEFORE the loop pins the step numbering; inside the
+        # loop the step id is step0 + count (state.step increments by 1 per
+        # call), so the hot path never reads a device scalar
+        step0 = int(self.state.step) if self.logger is not None else 0
         t0 = time.perf_counter()
         for batch in data_iter:
             self._maybe_profile(epoch, count)
@@ -324,9 +335,12 @@ class Trainer:
             for k, v in metrics.items():
                 totals[k] = totals[k] + v if k in totals else v
             if self.logger is not None:
-                self.logger.log_step(
-                    int(self.state.step), {k: float(v) for k, v in metrics.items()}
-                )
+                pending.append(metrics)
+                if len(pending) >= self.log_flush_every:
+                    self._flush_step_logs(step0, count, pending)
+                    pending = []
+        if self.logger is not None and pending:
+            self._flush_step_logs(step0, count, pending)
         elapsed = time.perf_counter() - t0
         means = {k: float(v) / max(count, 1) for k, v in totals.items()}
         means["epoch"] = epoch
@@ -343,6 +357,17 @@ class Trainer:
         ):
             self.checkpointer.save(int(self.state.step), self.state)
         return means
+
+    def _flush_step_logs(self, step0: int, count: int, pending: list):
+        """Convert a batch of buffered device metrics with ONE device_get and
+        forward them to the logger. pending[i] belongs to global step
+        step0 + (count - len(pending)) + i + 1."""
+        host = jax.device_get(pending)
+        first = step0 + count - len(pending)
+        for i, m in enumerate(host):
+            self.logger.log_step(
+                first + i + 1, {k: float(v) for k, v in m.items()}
+            )
 
     def _maybe_profile(self, epoch: int, step_in_epoch: int):
         if self.profile_dir is None or epoch != 1:

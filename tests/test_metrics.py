@@ -199,3 +199,89 @@ def test_accumulator_all_region_and_lve_collision():
     np.testing.assert_allclose(
         out["mouth"], err[:, 4:6].max(axis=1).mean(), rtol=1e-6
     )
+
+
+def test_multiface_weighted_mask_branch_end_to_end(tmp_path, capsys):
+    """The reference's alternate metric branch (multiface-style weighted
+    masks, nr_vertices!=BIWI, reference computer_metrix.py:36-55): weighted
+    mouth/forehead mask files threshold (>0.1 / >0.4) into index regions,
+    then the SAME MVE/LVE/FDD math runs over them. Drive the metrics CLI
+    end-to-end on synthetic data and compare every number against a direct
+    transliteration of the reference script."""
+    import json
+    import pickle
+
+    from fdm_tpu.cli import metrics as metrics_cli
+
+    V, T = 20, 6
+    stems = ["F2_e46", "M3_e47"]
+    gt_dir, pred_dir = tmp_path / "gt", tmp_path / "pred"
+    gt_dir.mkdir(); pred_dir.mkdir()
+    data = {}
+    for i, stem in enumerate(stems):
+        r = np.random.RandomState(10 + i)
+        gt = r.randn(T, V, 3).astype(np.float32)
+        pred = gt + 0.1 * r.randn(T, V, 3).astype(np.float32)
+        np.save(gt_dir / f"{stem}.npy", gt)
+        np.save(pred_dir / f"{stem}.npy", pred)
+        data[stem] = (gt, pred)
+
+    mouth_w = np.random.RandomState(3).rand(V)
+    upper_w = np.random.RandomState(4).rand(V)
+    (tmp_path / "weighted_mouth_mask.txt").write_text(
+        "\n".join(str(v) for v in mouth_w)
+    )
+    (tmp_path / "forehead_mask.txt").write_text(
+        "\n".join(str(v) for v in upper_w)
+    )
+    templates = {
+        "F2": np.random.RandomState(5).randn(V * 3).astype(np.float32),
+        "M3": np.random.RandomState(6).randn(V * 3).astype(np.float32),
+    }
+    with open(tmp_path / "templates.pkl", "wb") as f:
+        pickle.dump(templates, f)
+
+    assert metrics_cli.main([
+        "--pred_path", str(pred_dir), "--gt_path", str(gt_dir),
+        "--lip_region", str(tmp_path / "weighted_mouth_mask.txt"),
+        "--upper_region", str(tmp_path / "forehead_mask.txt"),
+        "--templates", str(tmp_path / "templates.pkl"),
+        "--json",
+    ]) == 0
+    results = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # ---- straight-line transliteration of computer_metrix.py ----
+    mouth_map = [i for i, v in enumerate(mouth_w) if v > 0.1]   # :42-48
+    upper_map = [i for i, v in enumerate(upper_w) if v > 0.4]   # :50-55
+    gt_all, pred_all, std_diff, abs_std_diff = [], [], [], []
+    for stem in sorted(stems):
+        gt, pred = data[stem]
+        subject = stem.split("_")[0]
+        temp = templates[subject].reshape(V, 3)
+        gt_all.extend(list(gt))                                  # :84-85
+        pred_all.extend(list(pred))
+        motion_gt = gt - temp[None]                              # :92-93
+        motion_pred = pred - temp[None]
+        for motion, out in ((motion_gt, "gt"), (motion_pred, "pred")):
+            L2 = np.array([np.square(motion[:, v, :]) for v in upper_map])
+            L2 = np.transpose(L2, (1, 0, 2)).sum(axis=2)
+            L2 = np.std(L2, axis=0)
+            if out == "gt":
+                gt_std = np.mean(L2)                             # :96-101
+            else:
+                pred_std = np.mean(L2)                           # :103-107
+        std_diff.append(gt_std - pred_std)                       # :109
+        abs_std_diff.append(abs(gt_std - pred_std))              # :110
+    gt_all = np.array(gt_all); pred_all = np.array(pred_all)
+    mve_ref = np.mean(np.linalg.norm(gt_all - pred_all, axis=2))  # :124-125
+    L2m = np.array([np.square(gt_all[:, v, :] - pred_all[:, v, :])
+                    for v in mouth_map])
+    L2m = np.transpose(L2m, (1, 0, 2)).sum(axis=2).max(axis=1)    # :127-130
+    lve_ref = np.mean(L2m)                                        # :133
+    fdd_ref = sum(std_diff) / len(std_diff)                       # :134
+    abs_fdd_ref = sum(abs_std_diff) / len(abs_std_diff)           # :135
+
+    np.testing.assert_allclose(results["mve"], mve_ref, rtol=1e-5)
+    np.testing.assert_allclose(results["lve"], lve_ref, rtol=1e-5)
+    np.testing.assert_allclose(results["fdd"], fdd_ref, rtol=1e-5)
+    np.testing.assert_allclose(results["abs_fdd"], abs_fdd_ref, rtol=1e-5)

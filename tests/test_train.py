@@ -299,3 +299,52 @@ def test_run_epoch_means_accumulate_on_device():
     means = trainer.run_epoch([{}, {}, {}], epoch=1)
     np.testing.assert_allclose(means["loss"], (1 + 2 + 3) / 3.0)
     assert means["steps"] == 3
+
+
+def test_step_logging_is_buffered_not_per_step():
+    """With a logger attached the hot loop must NOT convert metrics to host
+    floats per step (VERDICT round 2): log_step calls arrive in flushes of
+    `log_flush_every` (plus an epoch-end flush), with correct global step
+    ids and plain-float values."""
+    import numpy as np
+
+    from fdm_tpu.train import Trainer, TrainState
+
+    steps_run = [0]
+
+    class FakeStep:
+        def __call__(self, state, batch):
+            steps_run[0] += 1
+            return state._replace(step=state.step + 1), {
+                "loss": jnp.asarray(float(steps_run[0]))
+            }
+
+    class CountingLogger:
+        def __init__(self):
+            self.calls = []  # (steps_run_at_call_time, step_id, value)
+
+        def log_step(self, step, metrics):
+            assert isinstance(metrics["loss"], float)
+            self.calls.append((steps_run[0], step, metrics["loss"]))
+
+        def log_epoch(self, epoch, means):
+            pass
+
+    logger = CountingLogger()
+    state = TrainState(
+        step=jnp.asarray(10, jnp.int32), params={}, opt_state={},
+    )
+    trainer = Trainer(
+        FakeStep(), state, logger=logger, log_flush_every=2
+    )
+    trainer.run_epoch([{}] * 5, epoch=1)
+
+    # every step logged exactly once, with step ids continuing from the
+    # restored state.step (10) and values matching the step's metrics
+    assert [(s, v) for _, s, v in logger.calls] == [
+        (11, 1.0), (12, 2.0), (13, 3.0), (14, 4.0), (15, 5.0)
+    ]
+    # buffering proof: the log call for step 1 only happened once TWO steps
+    # had already run (flush threshold), and step 5's at epoch end
+    ran_at = [r for r, _, _ in logger.calls]
+    assert ran_at == [2, 2, 4, 4, 5]

@@ -291,3 +291,47 @@ def test_frame_mask_blocks_padding_leak_quant_factor():
         params, padded, jnp.zeros((B, 1, cfg.in_dim)), None, mask
     )
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("qf", [2, 3])
+def test_frame_mask_exact_at_deep_quant_factor(qf):
+    """quant_factor >= 2 adds k5 replicate-pad conv stages after the
+    stride-2/deconv stage; the masked batched path re-edge-fills the padding
+    before each stage, so encode AND decode stay exact on the valid prefix
+    at every depth (round-2 advisor finding: this used to silently diverge
+    everywhere, max-abs ~2.7 on an output scale of ~5)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config(), quant_factor=qf)
+    model = VQAutoEncoder(cfg)
+    B, T, pad = 1, 16, 16  # multiples of 2**qf, like bucketed batching
+    motion = jax.random.normal(jax.random.PRNGKey(0), (B, T, cfg.in_dim)) * 0.1
+    params = model.init(
+        jax.random.PRNGKey(1), motion, jnp.zeros((B, 1, cfg.in_dim)), None
+    )
+    z_exact = model.apply(params, motion, None, method="encode")
+    padded = jnp.concatenate(
+        [motion, jnp.zeros((B, pad, cfg.in_dim))], axis=1
+    )
+    mask = jnp.concatenate(
+        [jnp.ones((B, T)), jnp.zeros((B, pad))], axis=1
+    )
+    z_masked = model.apply(params, padded, None, mask, method="encode")
+    L = (T >> qf) * cfg.face_quan_num
+    np.testing.assert_allclose(
+        np.asarray(z_masked[:, :L]), np.asarray(z_exact),
+        atol=1e-5, rtol=1e-5,
+    )
+
+    q = model.apply(params, z_exact, method="quant")
+    dec_exact = model.apply(params, q.z_q, method="decode")
+    z_pad = jnp.concatenate(
+        [q.z_q,
+         jnp.zeros((B, (pad >> qf) * cfg.face_quan_num, cfg.zquant_dim))],
+        axis=1,
+    )
+    dec_masked = model.apply(params, z_pad, mask, method="decode")
+    np.testing.assert_allclose(
+        np.asarray(dec_masked[:, :T]), np.asarray(dec_exact),
+        atol=1e-5, rtol=1e-5,
+    )

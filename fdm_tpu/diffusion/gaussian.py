@@ -136,17 +136,24 @@ def ddpm_sample(
     num_steps: Optional[int] = None,
     dtype=jnp.float32,
     unroll: int = 1,
+    x_init: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Ancestral DDPM sampling as one `lax.scan` (T -> 0).
 
     Reference equivalent: p_sample_loop / p_sample at
     diffusion_mead_encoder_decoder.py:650-670 — a 1000-iteration Python loop
     calling the full denoiser per step; here it is a single compiled scan.
+
+    x_init pins the starting noise x_T (parity/reproducibility runs against
+    an external RNG); by default it is drawn from `key`.
     """
     total = schedule.num_timesteps
     num_steps = total if num_steps is None else num_steps
     key, init_key = jax.random.split(key)
-    x_init = jax.random.normal(init_key, shape, dtype=dtype)
+    if x_init is None:
+        x_init = jax.random.normal(init_key, shape, dtype=dtype)
+    else:
+        x_init = jnp.asarray(x_init, dtype)
 
     timesteps = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
     step_keys = jax.random.split(key, num_steps)
@@ -188,6 +195,7 @@ def ddim_sample(
     tail: str = "reference",
     dtype=jnp.float32,
     unroll: int = 1,
+    x_init: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """DDIM sampling as one `lax.scan` over (t, t_next) pairs.
 
@@ -197,6 +205,9 @@ def ddim_sample(
     the returned sample sits at noise level t_min — we simply drop that pair
     (identical output, one fewer denoiser call). tail="x0" instead returns the
     final clean x0 prediction (strictly lower output noise).
+
+    x_init pins the starting noise (parity/reproducibility runs against an
+    external RNG); by default it is drawn from `key`.
     """
     if tail not in ("reference", "x0"):
         raise ValueError(f"tail must be 'reference' or 'x0', got {tail!r}")
@@ -205,7 +216,10 @@ def ddim_sample(
         pairs = pairs[:-1]  # reference discards the last pair's update
 
     key, init_key = jax.random.split(key)
-    x_init = jax.random.normal(init_key, shape, dtype=dtype)
+    if x_init is None:
+        x_init = jax.random.normal(init_key, shape, dtype=dtype)
+    else:
+        x_init = jnp.asarray(x_init, dtype)
     step_keys = jax.random.split(key, pairs.shape[0])
 
     def body(x, inp):

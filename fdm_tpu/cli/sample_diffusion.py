@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "grouped by bucketed length so batches share "
                              "one compiled shape)")
     parser.add_argument("--flame_model", default=None)
+    parser.add_argument("--dump_gt_dir", default=None,
+                        help="also save each record's ground-truth vertex "
+                             "sequence as <name>.npy here (pairs with the "
+                             "metrics CLI's --gt_path; for --synthetic runs "
+                             "where no vertices_npy/ ground truth exists)")
     return parser
 
 
@@ -130,6 +135,7 @@ def main(argv=None) -> int:
         by_len[i : i + args.batch_size]
         for i in range(0, len(by_len), args.batch_size)
     ]
+    gt_dir = ensure_dir(args.dump_gt_dir) if args.dump_gt_dir else None
     for chunk in chunks:
         batch = decode_motion(
             cfg,
@@ -139,6 +145,13 @@ def main(argv=None) -> int:
             flame,
         )
         T_pad = batch["motion"].shape[1]
+        if gt_dir is not None:
+            gt = np.asarray(batch["motion"])
+            for row, rec in enumerate(chunk):
+                np.save(
+                    os.path.join(gt_dir, rec.name + ".npy"),
+                    gt[row, : min(rec.num_frames, T_pad)],
+                )
         audio_hidden = frontend(batch["audio"], T_pad)
         template = jnp.asarray(batch["template"])
         emotion = batch.get("emotion_one_hot")

@@ -115,6 +115,12 @@ def build_generate(dataset: str, sampler: str, steps: int, seconds: float,
         (B, num_samples)
     ).astype(np.float32)
 
+    # place the inputs on device ONCE: they stay jit ARGUMENTS (no HLO
+    # constants), but the timed loop must not re-upload 3-60 MB of batch
+    # over the tunnel per call (measured: ~40 MB/s -> seconds per step)
+    wav, template, style = map(jax.device_put, (wav, template, style))
+    emo = jax.device_put(emo) if emo is not None else None
+
     @jax.jit
     def _generate(enc_params, vq_params, fdm_params, wav, template, style,
                   emo, k):
@@ -226,10 +232,13 @@ def bench_train_step(seconds=5.0, repeats=20, dtype="float32",
     tx = frozen_aware_optimizer(default_optimizer(), params)
     state = create_train_state(params, tx)
     step = make_stage2_e2e_step(ld, tx, vq_params)
-    batch = {
+    # device-resident batch: the bench times the pure compiled step; host
+    # input staging is the data pipeline's job (and re-uploading the 58 MB
+    # motion tensor over the tunnel per step swamps the measurement)
+    batch = jax.device_put({
         "motion": motion, "template": template, "audio": wav,
         "style_one_hot": style, "emotion_one_hot": emo,
-    }
+    })
 
     state, metrics = step(state, batch, jax.random.PRNGKey(5))  # compile
     jax.block_until_ready(metrics)

@@ -278,9 +278,27 @@ class LatentDiffusion:
         style_one_hot: jnp.ndarray,
         emotion_one_hot: Optional[jnp.ndarray],
         cfg_scale: float = 0.0,
+        hoist_cross: bool = True,
     ):
         """Build the x0-denoiser closure for the samplers. cfg_scale > 0
-        folds conditional+unconditional into one doubled-batch forward."""
+        folds conditional+unconditional into one doubled-batch forward.
+
+        hoist_cross precomputes the step-invariant audio term of the
+        diagonal cross attention once per clip (FDM.prepare_cross) so the
+        sampling scan stops re-evaluating two GEMMs per layer per step —
+        available whenever the fast cross path is in use (auto-disabled for
+        cross_mode='full' and adain conditioning)."""
+        hoist = (
+            hoist_cross
+            and self.fdm.cross_mode == "fast"
+            and not self.config.fdm.adain_conditioning
+        )
+
+        def _cross(audio):
+            if not hoist:
+                return None
+            return self.fdm.apply(fdm_params, audio, method="prepare_cross")
+
         if cfg_scale and cfg_scale > 0.0:
             style2 = jnp.concatenate(
                 [style_one_hot, jnp.zeros_like(style_one_hot)], axis=0
@@ -292,12 +310,13 @@ class LatentDiffusion:
                 if emotion_one_hot is not None else None
             )
             audio2 = jnp.concatenate([audio_feat, audio_feat], axis=0)
+            cross2 = _cross(audio2)
 
             def denoise_fn(x_t, t):
                 x2 = jnp.concatenate([x_t, x_t], axis=0)
                 t2 = jnp.concatenate([t, t], axis=0)
                 out = self.fdm.apply(
-                    fdm_params, x2, t2, audio2, style2, emo2,
+                    fdm_params, x2, t2, audio2, style2, emo2, True, cross2,
                     method="denoise",
                 )
                 cond, uncond = jnp.split(out, 2, axis=0)
@@ -305,10 +324,12 @@ class LatentDiffusion:
 
             return denoise_fn
 
+        cross = _cross(audio_feat)
+
         def denoise_fn(x_t, t):
             return self.fdm.apply(
                 fdm_params, x_t, t, audio_feat, style_one_hot,
-                emotion_one_hot, method="denoise",
+                emotion_one_hot, True, cross, method="denoise",
             )
 
         return denoise_fn

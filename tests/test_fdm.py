@@ -377,3 +377,66 @@ def test_remat_matches_plain():
     g2 = jax.grad(lambda p: loss(remat, p))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_hoisted_cross_attention_matches_denoise():
+    """prepare_cross + per-step time_term == the per-step out(v(audio+time))
+    evaluation (linear split under the diagonal mask) — the sampling-scan
+    hoist must be numerically indistinguishable, including under CFG."""
+    cfg = small_cfg()
+    model = FDM(cfg)
+    B, T = 2, 6
+    L = T * cfg.tokens_per_frame
+    C = cfg.feature_dim // cfg.tokens_per_frame
+    x_t = jax.random.normal(jax.random.PRNGKey(0), (B, L, C))
+    audio = jax.random.normal(
+        jax.random.PRNGKey(1), (B, T, cfg.audio_dim * cfg.audio_pair_factor)
+    )
+    style = jnp.eye(5)[:B]
+    emo = jnp.eye(7)[:B]
+    t = jnp.array([3, 41], dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(2), x_t, t, audio, style, emo)
+    # give the zero-init head signal
+    params = jax.tree_util.tree_map(lambda p: p + 0.05, params)
+
+    feat = model.apply(params, audio, method="prepare_audio")
+    base = model.apply(params, x_t, t, feat, style, emo, method="denoise")
+    cross = model.apply(params, feat, method="prepare_cross")
+    hoisted = model.apply(
+        params, x_t, t, feat, style, emo, True, cross, method="denoise"
+    )
+    np.testing.assert_allclose(
+        np.asarray(hoisted), np.asarray(base), atol=1e-5, rtol=1e-5
+    )
+
+    # the generate path (which enables the hoist by default) agrees with the
+    # explicitly unhoisted denoiser closure through the full sampler
+    from fdm_tpu.configs import (
+        DatasetConfig, DiffusionConfig, PipelineConfig, TrainConfig,
+        VQVAEConfig,
+    )
+    from fdm_tpu.models import LatentDiffusion
+
+    pcfg = PipelineConfig(
+        dataset=DatasetConfig(emotion_classes=7, style_classes=5),
+        vqvae=VQVAEConfig(
+            in_dim=12, hidden_size=32, n_embed=14, zquant_dim=8,
+            face_quan_num=4, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=32, quant_factor=0, emotion_classes=7,
+        ),
+        fdm=cfg,
+        diffusion=DiffusionConfig(timesteps=cfg.num_timesteps,
+                                  sample_steps=4, ddim_steps=4),
+        train=TrainConfig(),
+    )
+    ld = LatentDiffusion.create(pcfg)
+    for cfg_scale in (0.0, 2.5):
+        fn_hoist = ld.make_denoise_fn(params, feat, style, emo, cfg_scale)
+        fn_plain = ld.make_denoise_fn(params, feat, style, emo, cfg_scale,
+                                      hoist_cross=False)
+        a = fn_hoist(x_t, t)
+        b = fn_plain(x_t, t)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5,
+            err_msg=f"cfg_scale={cfg_scale}",
+        )

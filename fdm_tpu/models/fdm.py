@@ -55,7 +55,14 @@ class TorchMHA(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dropout: float = 0.0
 
-    @nn.compact
+    def setup(self):
+        D = self.dim
+        self.q = nn.Dense(D, dtype=self.dtype)
+        self.k = nn.Dense(D, dtype=self.dtype)
+        self.v = nn.Dense(D, dtype=self.dtype)
+        self.out = nn.Dense(D, dtype=self.dtype)
+        self.weight_drop = nn.Dropout(rate=self.dropout)
+
     def __call__(self, x, mem, bias: Optional[jnp.ndarray] = None,
                  fused_alibi_period: Optional[int] = None,
                  deterministic: bool = True):
@@ -65,9 +72,27 @@ class TorchMHA(nn.Module):
         Pallas fused causal-ALiBi kernel instead of adding `bias`."""
         D, H = self.dim, self.n_head
         hd = D // H
-        q = nn.Dense(D, dtype=self.dtype, name="q")(x)
-        k = nn.Dense(D, dtype=self.dtype, name="k")(mem)
-        v = nn.Dense(D, dtype=self.dtype, name="v")(mem)
+        if x is mem and not self.is_initializing():
+            # self-attention: pack q/k/v into ONE (D, 3D) GEMM — each
+            # output element is the same dot product (bit-equal), the
+            # kernel concat is loop-invariant (hoisted out of sampler
+            # scans by XLA), and one wide matmul tiles the MXU better
+            # than three D x D ones at small T. (During init the unpacked
+            # Denses run so their params get created.)
+            p = self.q.variables["params"]
+            pk = self.k.variables["params"]
+            pv = self.v.variables["params"]
+            W = jnp.concatenate(
+                [p["kernel"], pk["kernel"], pv["kernel"]], axis=1
+            ).astype(self.dtype)
+            b = jnp.concatenate(
+                [p["bias"], pk["bias"], pv["bias"]]
+            ).astype(self.dtype)
+            q, k, v = jnp.split(x @ W + b, 3, axis=-1)
+        else:
+            q = self.q(x)
+            k = self.k(mem)
+            v = self.v(mem)
         B, T, _ = q.shape
         S = k.shape[1]
         q = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
@@ -84,7 +109,7 @@ class TorchMHA(nn.Module):
                 )
             out = alibi_attention(q, k, v, fused_alibi_period)
             out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
-            return nn.Dense(D, dtype=self.dtype, name="out")(out)
+            return self.out(out)
         logits = jnp.einsum("bhid,bhjd->bhij", q, k) * (hd**-0.5)
         if bias is not None:
             if bias.ndim == 2:
@@ -94,12 +119,10 @@ class TorchMHA(nn.Module):
         if self.dropout > 0.0:
             # torch drops the probabilities themselves; rows no longer sum
             # to 1 (surviving entries rescaled by 1/(1-p))
-            attn = nn.Dropout(rate=self.dropout)(
-                attn, deterministic=deterministic
-            )
+            attn = self.weight_drop(attn, deterministic=deterministic)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
-        return nn.Dense(D, dtype=self.dtype, name="out")(out)
+        return self.out(out)
 
 
 class AlignedCrossAttention(nn.Module):

@@ -367,6 +367,10 @@ def main():
               else ["biwi", "vocaset", "train", "bf16", "throughput",
                     "mead"])
     )
+    if args.dtype == "bfloat16" and "bf16" in suites:
+        # the train/mead suites already run in bf16 — the dedicated bf16
+        # suite would emit duplicate metric names and repeat the measurements
+        suites.remove("bf16")
     any_ok = False
     for suite in suites:
         if suite == "throughput":

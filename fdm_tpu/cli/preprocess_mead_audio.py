@@ -152,7 +152,12 @@ def process(src: str, dst: str, sr: int, flatten: bool,
             # (a full-tree re-run reads every sample otherwise)
             from scipy.io import wavfile
 
-            in_sr, _ = wavfile.read(path, mmap=True)
+            try:
+                in_sr, _ = wavfile.read(path, mmap=True)
+            except ValueError:
+                # mmap rejects 3-byte (24-bit) PCM containers; fall back to
+                # a full decode for those rather than failing the tree
+                in_sr, _ = wavfile.read(path)
             if in_sr == sr:
                 skipped += 1
                 continue

@@ -65,14 +65,20 @@ class TorchMHA(nn.Module):
 
     def __call__(self, x, mem, bias: Optional[jnp.ndarray] = None,
                  fused_alibi_period: Optional[int] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 self_attention: Optional[bool] = None):
         """x: (B, T, D) queries; mem: (B, S, D) keys/values;
         bias: additive attention bias (H, T, S) or (T, S).
         fused_alibi_period: when set (self-attention only), dispatch to the
-        Pallas fused causal-ALiBi kernel instead of adding `bias`."""
+        Pallas fused causal-ALiBi kernel instead of adding `bias`.
+        self_attention: pins the packed-QKV dispatch explicitly; when None
+        it falls back to object identity (x is mem) — call sites that care
+        about the packed path should pass it rather than rely on aliasing."""
         D, H = self.dim, self.n_head
         hd = D // H
-        if x is mem and not self.is_initializing():
+        if self_attention is None:
+            self_attention = x is mem
+        if self_attention and not self.is_initializing():
             # self-attention: pack q/k/v into ONE (D, 3D) GEMM — each
             # output element is the same dot product (bit-equal), the
             # kernel concat is loop-invariant (hoisted out of sampler
@@ -435,10 +441,11 @@ class _DecoderLayer(nn.Module):
         if self.self_attn_mode == "fused":
             h = self.self_attn(
                 x, x, fused_alibi_period=self.alibi_period,
-                deterministic=deterministic,
+                deterministic=deterministic, self_attention=True,
             )
         else:
-            h = self.self_attn(x, x, self_bias, deterministic=deterministic)
+            h = self.self_attn(x, x, self_bias, deterministic=deterministic,
+                               self_attention=True)
         x = self.norm1(x + self.drop(h, deterministic=deterministic))
         if cross_audio is not None:
             if self.cross_mode != "fast" or not deterministic:

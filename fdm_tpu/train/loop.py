@@ -311,11 +311,11 @@ class Trainer:
 
     def run_epoch(self, data_iter, epoch: int) -> dict:
         totals, count = {}, 0
-        pending = []  # buffered per-step device metrics awaiting the logger
-        # one host sync BEFORE the loop pins the step numbering; inside the
-        # loop the step id is step0 + count (state.step increments by 1 per
-        # call), so the hot path never reads a device scalar
-        step0 = int(self.state.step) if self.logger is not None else 0
+        # buffered (state.step device scalar, device metrics) pairs awaiting
+        # the logger — carrying the step array itself keeps ids exact for
+        # ANY step_fn (grad accumulation, skipped updates, ...) without a
+        # host sync on the hot path
+        pending = []
         t0 = time.perf_counter()
         for batch in data_iter:
             self._maybe_profile(epoch, count)
@@ -335,12 +335,14 @@ class Trainer:
             for k, v in metrics.items():
                 totals[k] = totals[k] + v if k in totals else v
             if self.logger is not None:
-                pending.append(metrics)
+                # jnp.copy: the next step call DONATES self.state, which
+                # would invalidate the buffered step buffer before flush
+                pending.append((jnp.copy(self.state.step), metrics))
                 if len(pending) >= self.log_flush_every:
-                    self._flush_step_logs(step0, count, pending)
+                    self._flush_step_logs(pending)
                     pending = []
         if self.logger is not None and pending:
-            self._flush_step_logs(step0, count, pending)
+            self._flush_step_logs(pending)
         elapsed = time.perf_counter() - t0
         means = {k: float(v) / max(count, 1) for k, v in totals.items()}
         means["epoch"] = epoch
@@ -358,15 +360,13 @@ class Trainer:
             self.checkpointer.save(int(self.state.step), self.state)
         return means
 
-    def _flush_step_logs(self, step0: int, count: int, pending: list):
-        """Convert a batch of buffered device metrics with ONE device_get and
-        forward them to the logger. pending[i] belongs to global step
-        step0 + (count - len(pending)) + i + 1."""
+    def _flush_step_logs(self, pending: list):
+        """Convert a batch of buffered (step, metrics) device arrays with
+        ONE device_get and forward them to the logger."""
         host = jax.device_get(pending)
-        first = step0 + count - len(pending)
-        for i, m in enumerate(host):
+        for step, m in host:
             self.logger.log_step(
-                first + i + 1, {k: float(v) for k, v in m.items()}
+                int(step), {k: float(v) for k, v in m.items()}
             )
 
     def _maybe_profile(self, epoch: int, step_in_epoch: int):

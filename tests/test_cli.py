@@ -521,3 +521,43 @@ def test_convert_weights_fdm_strips_double_prefix(workdir):
     ) == 0
     params = load_params("conv/fdm_dp.msgpack")
     assert "params" in params and len(params["params"]) > 0
+
+
+def test_preprocess_inplace_24bit_wav_skip_scan(tmp_path):
+    """The in-place skip scan reads wav headers via mmap, which scipy
+    rejects for 3-byte (24-bit) PCM containers — the fallback full read
+    must keep the run alive (round-3 review finding)."""
+    import struct
+
+    import numpy as np
+    from scipy.io import wavfile
+
+    from fdm_tpu.cli import preprocess_mead_audio as ppa
+
+    d = tmp_path / "wav" / "spk"
+    d.mkdir(parents=True)
+    # hand-build a minimal 24-bit PCM RIFF file at the target rate
+    sr, n = 16000, 64
+    frames = b"".join(
+        struct.pack("<i", (i * 1000) % (1 << 22))[:3] for i in range(n)
+    )
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 3, 3, 24)
+        + b"data" + struct.pack("<I", len(frames))
+    )
+    (d / "deep.wav").write_bytes(hdr + frames)
+    # sanity: mmap really is rejected for this container
+    try:
+        wavfile.read(str(d / "deep.wav"), mmap=True)
+        assert False, "expected mmap rejection for 24-bit PCM"
+    except ValueError:
+        pass
+    # plus a normal 16-bit file needing no work
+    t = np.linspace(0, 0.1, sr // 10, endpoint=False)
+    wavfile.write(str(d / "ok.wav"), sr,
+                  (1000 * np.sin(2 * np.pi * 220 * t)).astype(np.int16))
+
+    rc = ppa.main(["--src", str(tmp_path / "wav"),
+                   "--dst", str(tmp_path / "wav")])
+    assert rc == 0  # both files already at 16 kHz -> skipped, no crash

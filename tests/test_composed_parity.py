@@ -218,7 +218,11 @@ def _build_stack(dataset, seed, frames):
     )
 
 
-def _jax_denoise_fn(s):
+def _jax_denoise_fn(s, hoist=False):
+    """hoist=True runs the PRODUCTION sampling path (per-clip
+    prepare_cross + per-step time term, the generate() default) so the
+    DDIM composition is proven against torch at full size through the
+    optimized program, not just the reference-shaped one."""
     model = FDM(s.fdm_cfg)
     audio_paired = jnp.asarray(
         s.audio_hidden.reshape(
@@ -230,10 +234,15 @@ def _jax_denoise_fn(s):
     feat = model.apply(s.fdm_params, audio_paired, method="prepare_audio")
     style_j = jnp.asarray(s.style.numpy())
     emo_j = jnp.asarray(s.emo.numpy()) if s.emo is not None else None
+    cross = (
+        model.apply(s.fdm_params, feat, method="prepare_cross")
+        if hoist else None
+    )
 
     def denoise(x, t):
         return model.apply(
-            s.fdm_params, x, t, feat, style_j, emo_j, method="denoise"
+            s.fdm_params, x, t, feat, style_j, emo_j, True, cross,
+            method="denoise",
         )
 
     return denoise, emo_j
@@ -329,8 +338,11 @@ def _run_composed(dataset, seed, frames, ref_gd_module):
         verts_ref = s.ref_vq.decode(qs_ref) + s.template
 
     # ---------------- ours: DDIM-4 sample composition ----------------
+    # the sample side runs the PRODUCTION hoisted denoiser (generate()'s
+    # default) — proving the optimized path against torch at full size
+    denoise_hoisted, _ = _jax_denoise_fn(s, hoist=True)
     latent_sampled = ddim_sample(
-        schedule, denoise_j, tuple(x_init.shape), jax.random.PRNGKey(0),
+        schedule, denoise_hoisted, tuple(x_init.shape), jax.random.PRNGKey(0),
         steps=DDIM_STEPS, x_init=jnp.asarray(x_init.numpy()),
     )
     e_traj = _maxabs(latent_sampled, latent_sampled_ref.numpy())

@@ -109,8 +109,12 @@ class DiffusionConfig:
     sample_steps: int = 1000        # ancestral steps at inference (MEAD: 1000)
     ddim_steps: int = 50            # DDIM steps (BIWI: 50, VOCASET: 100)
     ddim_eta: float = 0.0
-    scan_unroll: int = 4            # DDPM scan unrolling: +8% at 1000 steps
-                                    # on v5e; numerically identical
+    scan_unroll: int = 8            # DDPM scan unrolling: re-tuned after the
+                                    # round-3 hoist/QKV-pack shrank the step
+                                    # (0.01467/0.0143/0.01353/0.01342 RTF at
+                                    # unroll 1/4/8/16 — 16 is within noise
+                                    # of 8 but compiles longer); numerically
+                                    # identical
     ddim_scan_unroll: int = 1       # DDIM measured FASTER un-unrolled on
                                     # v5e (44.7 vs 56.1 ms, 49 pairs at BIWI
                                     # full size — larger per-step program)

@@ -366,9 +366,15 @@ class LatentDiffusion:
 
         if sampler == "ddpm":
             steps = num_steps or cfg.diffusion.sample_steps
+            # unrolling trims per-iteration scan overhead, which only
+            # matters when the step program is small: B=1 measured
+            # 0.0147/0.0135 RTF at unroll 1/8, but batch-8 per-clip
+            # 0.0092/0.0138 at unroll 1/8 — batched steps are
+            # compute-dominated and unrolling only bloats the program
+            unroll = cfg.diffusion.scan_unroll if B == 1 else 1
             latent = ddpm_sample(
                 self.schedule, denoise_fn, latent_shape, key, num_steps=steps,
-                unroll=cfg.diffusion.scan_unroll,
+                unroll=unroll,
             )
         elif sampler == "ddim":
             steps = num_steps or cfg.diffusion.ddim_steps

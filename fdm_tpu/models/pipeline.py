@@ -370,8 +370,12 @@ class LatentDiffusion:
             # matters when the step program is small: B=1 measured
             # 0.0147/0.0135 RTF at unroll 1/8, but batch-8 per-clip
             # 0.0092/0.0138 at unroll 1/8 — batched steps are
-            # compute-dominated and unrolling only bloats the program
-            unroll = cfg.diffusion.scan_unroll if B == 1 else 1
+            # compute-dominated and unrolling only bloats the program.
+            # CFG doubles the EFFECTIVE batch inside the scan body, so it
+            # counts toward the gate (the B=1 unroll win was measured at
+            # cfg_scale=0).
+            effective_b = B * (2 if cfg_scale and cfg_scale > 0.0 else 1)
+            unroll = cfg.diffusion.scan_unroll if effective_b == 1 else 1
             latent = ddpm_sample(
                 self.schedule, denoise_fn, latent_shape, key, num_steps=steps,
                 unroll=unroll,

@@ -219,13 +219,19 @@ class FlameDecoder:
 def decode_motion(cfg: PipelineConfig, batch: dict,
                   flame: Optional[FlameDecoder]) -> dict:
     """If the dataset stores FLAME params, decode motion+template to vertex
-    space; otherwise pass through."""
+    space; otherwise pass through.
+
+    The decoded vertices STAY on device: a np.asarray here used to download
+    (B, T, 15069) floats to the host only for the train step to re-upload
+    them — a ~8 MB/step (batch 1) round trip over a ~40 MB/s link that
+    dominated CLI training throughput. Host consumers (np.save, metrics)
+    convert implicitly where they actually need host data."""
     if flame is None:
         return batch
     out = dict(batch)
-    out["motion"] = np.asarray(flame(jnp.asarray(batch["motion"])))
-    out["template"] = np.asarray(
-        flame.template(batch["template"].shape[0], batch["template"].shape[-1])
+    out["motion"] = flame(jnp.asarray(batch["motion"]))
+    out["template"] = flame.template(
+        batch["template"].shape[0], batch["template"].shape[-1]
     )
     return out
 

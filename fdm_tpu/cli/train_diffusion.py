@@ -224,7 +224,9 @@ def _prepare(batch, cfg, flame, frontend, keep_audio: bool = False) -> dict:
         # (the frontend's params live inside the donated train state by then)
         return batch
     T = batch["motion"].shape[1]
-    batch["audio_hidden"] = np.asarray(frontend(batch.pop("audio"), T))
+    # stays a device array: downloading it here only for the jitted step to
+    # re-upload it costs a ~1 MB round trip per step over the tunnel
+    batch["audio_hidden"] = frontend(batch.pop("audio"), T)
     return batch
 
 

@@ -205,15 +205,22 @@ class FlameDecoder:
                       "lbs_weights")
         }
         self._decode = lambda params: decode(self._weights, params)
+        self._template_cache = {}
 
     def __call__(self, params: jnp.ndarray) -> jnp.ndarray:
         return self._decode(params)
 
     def template(self, batch: int, param_dim: int) -> jnp.ndarray:
         """MEAD template = zero-param FLAME mesh (reference
-        metric/metric.py:84, data loader template=zeros)."""
-        zeros = jnp.zeros((batch, 1, param_dim))
-        return self._decode(zeros)
+        metric/metric.py:84, data loader template=zeros). Cached per
+        (batch, param_dim): the result is constant, and recomputing it
+        dispatched an extra remote program per training batch."""
+        key = (batch, param_dim)
+        cached = self._template_cache.get(key)
+        if cached is None:
+            cached = self._decode(jnp.zeros((batch, 1, param_dim)))
+            self._template_cache[key] = cached
+        return cached
 
 
 def decode_motion(cfg: PipelineConfig, batch: dict,

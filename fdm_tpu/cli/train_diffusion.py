@@ -113,7 +113,7 @@ def main(argv=None) -> int:
     B, T = batch0["motion"].shape[:2]
     L = T * cfg.fdm.tokens_per_frame
     audio_hidden0 = (
-        np.asarray(frontend(batch0["audio"], T))
+        frontend(batch0["audio"], T)
         if args.train_audio_encoder else batch0["audio_hidden"]
     )
     fdm_params = jax.jit(ld.fdm.init)(

@@ -146,14 +146,16 @@ def main(argv=None) -> int:
     return 0
 
 
-def _batches(records, cfg, args, epoch_seed: int):
+def _batches(records, cfg, args, epoch_seed: int, drop_last=None):
     from fdm_tpu.data import batch_iterator
 
+    if drop_last is None:
+        drop_last = jax.device_count() > 1 and cfg.train.batch_size > 1
     return batch_iterator(
         records, cfg.train.batch_size, bucket=cfg.train.frame_bucket,
         max_frames=cfg.train.max_frames, fps=cfg.dataset.fps,
         include_audio=False, shuffle=True, seed=args.seed + epoch_seed,
-        drop_last=jax.device_count() > 1 and cfg.train.batch_size > 1,
+        drop_last=drop_last,
     )
 
 
@@ -164,14 +166,17 @@ def _evaluate(ld, params, records, cfg, args, flame) -> float:
         )[1]["recon_loss"]
     )
     total, n = 0.0, 0
-    for batch in _batches(records, cfg, args, epoch_seed=0):
+    # evaluation runs single-program per batch (no mesh): never drop the
+    # remainder — with few valid records, drop_last could discard EVERY
+    # batch and a 0/1 division would then report a perfect val_recon=0.0
+    for batch in _batches(records, cfg, args, epoch_seed=0, drop_last=False):
         batch = decode_motion(cfg, batch, flame)
         total += float(loss_fn(
             params, batch["motion"], batch["template"],
             batch.get("emotion_one_hot"), batch.get("frame_mask"),
         ))
         n += 1
-    return total / max(n, 1)
+    return total / n if n else float("nan")
 
 
 if __name__ == "__main__":

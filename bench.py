@@ -367,9 +367,10 @@ def main():
               else ["biwi", "vocaset", "train", "bf16", "throughput",
                     "mead"])
     )
-    if args.dtype == "bfloat16" and "bf16" in suites:
-        # the train/mead suites already run in bf16 — the dedicated bf16
-        # suite would emit duplicate metric names and repeat the measurements
+    if args.only is None and args.dtype == "bfloat16":
+        # full run in bf16: the train/mead suites already measure bf16, so
+        # the dedicated bf16 suite would emit duplicate metric names and
+        # repeat the measurements. An explicit --only bf16 always runs.
         suites.remove("bf16")
     any_ok = False
     for suite in suites:

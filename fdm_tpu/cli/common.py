@@ -121,18 +121,32 @@ def build_config(args) -> PipelineConfig:
 
 
 def make_pipeline(cfg: PipelineConfig, with_audio_encoder: bool = False,
-                  allow_tiny_audio_encoder: bool = False):
+                  allow_tiny_audio_encoder: bool = False,
+                  for_training: bool = False):
     """LatentDiffusion honoring cfg.train.compute_dtype (bf16 for speed,
     fp32 for parity evals — SURVEY.md §7.3 float-semantics note) and
-    cfg.train.use_pallas (fused-attention denoiser)."""
+    cfg.train.use_pallas (fused-attention denoiser).
+
+    for_training forces the bias-table attention even under use_pallas: the
+    fused Pallas kernel never materializes the softmax weights, so the
+    training-time attention-weight dropout (fdm.dropout > 0) cannot run
+    through it — without this, the first train step would raise mid-epoch."""
     from fdm_tpu.models import LatentDiffusion
 
     dtype = (
         jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
     )
+    fused = cfg.train.use_pallas
+    if fused and for_training and cfg.fdm.dropout > 0:
+        print(
+            "note: train.use_pallas requested but fdm.dropout > 0 needs the "
+            "softmax weights — training uses the bias-table attention "
+            "(fused stays available for sampling)"
+        )
+        fused = False
     return LatentDiffusion.create(
         cfg, dtype=dtype,
-        self_attn_mode="fused" if cfg.train.use_pallas else "table",
+        self_attn_mode="fused" if fused else "table",
         with_audio_encoder=with_audio_encoder,
         allow_tiny_audio_encoder=allow_tiny_audio_encoder,
         remat=cfg.train.remat,

@@ -97,6 +97,7 @@ def main(argv=None) -> int:
     ld = make_pipeline(
         cfg, with_audio_encoder=args.train_audio_encoder,
         allow_tiny_audio_encoder=args.tiny or args.synthetic,
+        for_training=True,
     )
 
     batch0 = _prepare(next(_batches(splits.train, cfg, args, 0)), cfg, flame,

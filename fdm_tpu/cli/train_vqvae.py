@@ -79,7 +79,7 @@ def main(argv=None) -> int:
         FlameDecoder(cfg, args.flame_model)
         if cfg.dataset.uses_flame_params else None
     )
-    ld = make_pipeline(cfg)
+    ld = make_pipeline(cfg, for_training=True)
 
     # init params from one representative batch
     first = _batches(splits.train, cfg, args, epoch_seed=0)

@@ -55,14 +55,19 @@ def tokens_to_frames(z: jnp.ndarray, tokens_per_frame: int) -> jnp.ndarray:
 def downsample_frame_mask(mask: jnp.ndarray, quant_factor: int) -> jnp.ndarray:
     """Full-frame-rate mask (B, T) -> latent-rate mask matching the
     ConvSquasher's length arithmetic: the first stride-2 conv keeps
-    ceil(T/2) frames, each further max-pool stage keeps floor(L/2).
-    Identity for quant_factor == 0 (every shipped preset)."""
+    ceil(T/2) frames (a frame is valid iff its window START is valid), each
+    further max-pool stage keeps floor(L/2) frames — a pooled window is
+    valid only when BOTH inputs are (the unpadded computation has no
+    straddling window: an odd tail frame is dropped by floor, so a
+    half-valid window must be masked out or every downstream token
+    diverges from the per-clip computation). Identity for
+    quant_factor == 0 (every shipped preset)."""
     for i in range(quant_factor):
         if i == 0:
             mask = mask[:, ::2]
         else:
-            L = mask.shape[1]
-            mask = mask[:, : (L // 2) * 2 : 2]
+            L = (mask.shape[1] // 2) * 2
+            mask = mask[:, :L:2] * mask[:, 1:L:2]
     return mask
 
 
@@ -200,10 +205,12 @@ class ConvSquasher(nn.Module):
             x = _InstanceNorm(self.in_affine, name=f"norm_{i}")(x, mask)
             x = nn.max_pool(x, (2,), strides=(2,))
             if mask is not None:
-                # max_pool keeps floor(L/2) windows; a window is valid iff
-                # its first frame is (padding is contiguous at the tail)
-                L = mask.shape[1]
-                mask = mask[:, : (L // 2) * 2 : 2]
+                # max_pool keeps floor(L/2) windows; a window is valid only
+                # if BOTH frames are — the unpadded computation drops an odd
+                # tail frame entirely, so a straddling half-valid window
+                # must be masked out (same rule as downsample_frame_mask)
+                L = (mask.shape[1] // 2) * 2
+                mask = mask[:, :L:2] * mask[:, 1:L:2]
         return x, mask
 
 

@@ -293,8 +293,9 @@ def test_frame_mask_blocks_padding_leak_quant_factor():
     assert np.isfinite(float(loss))
 
 
-@pytest.mark.parametrize("qf", [2, 3])
-def test_frame_mask_exact_at_deep_quant_factor(qf):
+@pytest.mark.parametrize("qf,T", [(2, 16), (3, 16), (2, 13), (2, 14),
+                                  (3, 13), (3, 15)])
+def test_frame_mask_exact_at_deep_quant_factor(qf, T):
     """quant_factor >= 2 adds k5 replicate-pad conv stages after the
     stride-2/deconv stage; the masked batched path re-edge-fills the padding
     before each stage, so encode AND decode stay exact on the valid prefix
@@ -304,7 +305,9 @@ def test_frame_mask_exact_at_deep_quant_factor(qf):
 
     cfg = dataclasses.replace(tiny_config(), quant_factor=qf)
     model = VQAutoEncoder(cfg)
-    B, T, pad = 1, 16, 16  # multiples of 2**qf, like bucketed batching
+    B, pad = 1, 32 - T  # incl. lengths NOT aligned to 2**qf: the pool-mask
+    # floor semantics must drop straddling half-valid windows exactly like
+    # the unpadded computation drops odd tail frames (round-3 review)
     motion = jax.random.normal(jax.random.PRNGKey(0), (B, T, cfg.in_dim)) * 0.1
     params = model.init(
         jax.random.PRNGKey(1), motion, jnp.zeros((B, 1, cfg.in_dim)), None
@@ -317,7 +320,10 @@ def test_frame_mask_exact_at_deep_quant_factor(qf):
         [jnp.ones((B, T)), jnp.zeros((B, pad))], axis=1
     )
     z_masked = model.apply(params, padded, None, mask, method="encode")
-    L = (T >> qf) * cfg.face_quan_num
+    L = z_exact.shape[1]
+    from fdm_tpu.codec import downsample_frame_mask
+    n_valid = int(downsample_frame_mask(mask, qf).sum()) * cfg.face_quan_num
+    assert n_valid == L  # latent mask length matches the unpadded compute
     np.testing.assert_allclose(
         np.asarray(z_masked[:, :L]), np.asarray(z_exact),
         atol=1e-5, rtol=1e-5,
@@ -325,13 +331,13 @@ def test_frame_mask_exact_at_deep_quant_factor(qf):
 
     q = model.apply(params, z_exact, method="quant")
     dec_exact = model.apply(params, q.z_q, method="decode")
+    pad_tokens = (32 >> qf) * cfg.face_quan_num - L
     z_pad = jnp.concatenate(
-        [q.z_q,
-         jnp.zeros((B, (pad >> qf) * cfg.face_quan_num, cfg.zquant_dim))],
-        axis=1,
+        [q.z_q, jnp.zeros((B, pad_tokens, cfg.zquant_dim))], axis=1,
     )
     dec_masked = model.apply(params, z_pad, mask, method="decode")
+    Td = dec_exact.shape[1]
     np.testing.assert_allclose(
-        np.asarray(dec_masked[:, :T]), np.asarray(dec_exact),
+        np.asarray(dec_masked[:, :Td]), np.asarray(dec_exact),
         atol=1e-5, rtol=1e-5,
     )

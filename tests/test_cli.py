@@ -561,3 +561,17 @@ def test_preprocess_inplace_24bit_wav_skip_scan(tmp_path):
     rc = ppa.main(["--src", str(tmp_path / "wav"),
                    "--dst", str(tmp_path / "wav")])
     assert rc == 0  # both files already at 16 kHz -> skipped, no crash
+
+
+def test_use_pallas_training_falls_back_to_table(workdir, capsys):
+    """train.use_pallas with fdm.dropout > 0 must not crash mid-epoch: the
+    fused kernel cannot represent attention-weight dropout, so training
+    falls back to the bias-table attention with a printed note (round-3
+    review finding)."""
+    from fdm_tpu.cli import train_diffusion
+
+    args = BASE + ["--output_dir", "pallas_t", "--epochs", "1",
+                   "--set", "train.use_pallas=True"]
+    assert train_diffusion.main(args) == 0
+    out = capsys.readouterr().out
+    assert "bias-table attention" in out

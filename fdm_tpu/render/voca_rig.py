@@ -19,10 +19,16 @@ render/render.py:28-106):
     with SKIP_CULL_FACES (render.py:99);
   * background white (default) or black (render.py:57-60).
 
-The shading model approximates pyrender's PBR pipeline with a calibrated
-Lambertian term — geometry (projection, pose, occlusion) is exact, pixel
-values are approximate. Pure numpy; rendering is offline host tooling, not a
-TPU workload (SURVEY.md §2.4).
+Shading evaluates the same glTF 2.0 metallic-roughness BRDF as pyrender's
+`mesh.frag` (a port of the Khronos glTF-WebGL-PBR reference shader) term by
+term — Schlick Fresnel with reflectance90, Smith occlusion, GGX
+distribution, (1-F)*c_diff/pi diffuse, per-light NdotL weighting, final
+1/2.2 gamma on mesh fragments only — with per-vertex view vectors. The
+remaining deviation from pyrender is interpolation order: we Gouraud-
+interpolate the per-vertex BRDF result, pyrender evaluates it per fragment
+(and in-image validation against a GL golden frame is impossible; see
+PARITY.md). Pure numpy; rendering is offline host tooling, not a TPU
+workload (SURVEY.md §2.4).
 """
 
 from __future__ import annotations
@@ -100,25 +106,71 @@ def project_voca(
     return np.stack([u, w], axis=1), depth
 
 
-def shade_vertices(normals: np.ndarray) -> np.ndarray:
-    """Per-vertex gray level: the reference's metallic-roughness material
-    (base 0.3, metallic 0.8, roughness 0.8) under five intensity-2.0
-    directional lights that all shine along -z (the camera direction), plus
-    the 0.2 ambient. GLTF PBR with light == view == half-vector, two-sided
-    because the reference renders with SKIP_CULL_FACES."""
-    nz = np.abs(normals[:, 2])              # n.l = n.v = n.h here
-    alpha = ROUGHNESS * ROUGHNESS
-    alpha2 = alpha * alpha
-    # GGX normal distribution at h = z
-    d = alpha2 / (np.pi * (nz * nz * (alpha2 - 1.0) + 1.0) ** 2)
-    # Smith-Schlick geometry term
-    k = (ROUGHNESS + 1.0) ** 2 / 8.0
-    g1 = nz / np.maximum(nz * (1.0 - k) + k, 1e-9)
-    g = g1 * g1
+def shade_vertices(
+    normals: np.ndarray,
+    vertices: Optional[np.ndarray] = None,
+    cam_pos: Tuple[float, float, float] = (0.0, 0.0, 1.0),
+) -> np.ndarray:
+    """Per-vertex LINEAR gray radiance: the glTF 2.0 metallic-roughness BRDF
+    exactly as pyrender's mesh.frag evaluates it (pyrender's shader is a
+    port of the Khronos glTF-WebGL-PBR reference implementation), for the
+    reference scene (render/render.py:45-97): material base 0.3, metallic
+    0.8, roughness 0.8; five white directional lights of intensity 2.0 whose
+    poses carry identity rotations, so every light shines along -z; scene
+    ambient 0.2.
+
+    Matches the shader term by term: Schlick Fresnel between F0 =
+    mix(0.04, base, metallic) and reflectance90 = clamp(25*F0, 0, 1); the
+    Smith geometric-occlusion form 2x/(x + sqrt(r^2 + (1-r^2)x^2)) with
+    r = alphaRoughness = roughness^2; Trowbridge-Reitz/GGX distribution with
+    alphaRoughness^2; diffuse (1-F) * c_diff/pi with c_diff =
+    base*(1-0.04)*(1-metallic); NdotL/NdotV clamped to [1e-3, 1] (NdotV via
+    abs, i.e. two-sided shading, matching SKIP_CULL_FACES);
+    per-light contribution NdotL * intensity * (diffuse + spec).
+
+    The view vector is the true per-vertex direction to the camera (not the
+    -z approximation); pyrender evaluates this per fragment, so Gouraud
+    interpolation of the result is the only remaining difference. Returns
+    LINEAR radiance — the shader's final pow(color, 1/2.2) gamma is applied
+    per covered pixel by render_frame_voca, as pyrender applies it to mesh
+    fragments but not to the glClearColor background."""
+    n = np.asarray(normals, np.float64)
+    if vertices is None:
+        v_dir = np.tile(np.array([0.0, 0.0, 1.0]), (n.shape[0], 1))
+    else:
+        v_dir = np.asarray(cam_pos, np.float64) - np.asarray(
+            vertices, np.float64
+        )
+        v_dir /= np.maximum(
+            np.linalg.norm(v_dir, axis=1, keepdims=True), 1e-12
+        )
+    # two-sided: flip normals toward the viewer (SKIP_CULL_FACES and the
+    # shader's abs(dot(n, v)) make back faces shade like front faces)
+    ndv_raw = np.sum(n * v_dir, axis=1)
+    n = n * np.where(ndv_raw < 0.0, -1.0, 1.0)[:, None]
+    # all five lights shine along -z -> surface-to-light vector is +z
+    l_dir = np.array([0.0, 0.0, 1.0])
+    h = l_dir + v_dir
+    h /= np.maximum(np.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+    ndl = np.clip(n @ l_dir, 1e-3, 1.0)
+    ndv = np.clip(np.abs(ndv_raw), 1e-3, 1.0)
+    ndh = np.clip(np.sum(n * h, axis=1), 0.0, 1.0)
+    vdh = np.clip(np.sum(v_dir * h, axis=1), 0.0, 1.0)
+
     f0 = 0.04 * (1.0 - METALLIC) + BASE_COLOR * METALLIC
-    spec = d * f0 * g / np.maximum(4.0 * nz * nz, 1e-6)
-    c_diff = BASE_COLOR * (1.0 - METALLIC)
-    radiance = (c_diff / np.pi + spec) * 5 * LIGHT_INTENSITY * nz
+    refl90 = min(f0 * 25.0, 1.0)
+    fres = f0 + (refl90 - f0) * (1.0 - vdh) ** 5
+    r = ROUGHNESS * ROUGHNESS          # alphaRoughness
+    r2 = r * r
+    att_l = 2.0 * ndl / (ndl + np.sqrt(r2 + (1.0 - r2) * ndl * ndl))
+    att_v = 2.0 * ndv / (ndv + np.sqrt(r2 + (1.0 - r2) * ndv * ndv))
+    geo = att_l * att_v
+    fd = (ndh * r2 - ndh) * ndh + 1.0
+    dist = r2 / (np.pi * fd * fd)
+    c_diff = BASE_COLOR * (1.0 - 0.04) * (1.0 - METALLIC)
+    diffuse = (1.0 - fres) * c_diff / np.pi
+    spec = fres * geo * dist / (4.0 * ndl * ndv)
+    radiance = ndl * (5.0 * LIGHT_INTENSITY) * (diffuse + spec)
     return np.clip(BASE_COLOR * AMBIENT + radiance, 0.0, 1.0)
 
 
@@ -143,7 +195,9 @@ def render_frame_voca(
         v = (rodrigues(rot) @ (v - c).T).T + c
 
     pix, depth = project_voca(v, dataset, size, z_offset)
-    shade = shade_vertices(vertex_normals(v, faces))
+    shade = shade_vertices(
+        vertex_normals(v, faces), v, cam_pos=(0.0, 0.0, 1.0 - z_offset)
+    )
 
     bg = 0.0 if background_black else 1.0
     img = np.full((size, size), bg, np.float32)
@@ -168,6 +222,10 @@ def render_frame_voca(
     if not raster_gouraud(tri_pix, tri_z, tri_shade, ok, size, img, zbuf):
         _raster_numpy(tri_pix, tri_z, tri_shade, ok, size, img, zbuf)
 
+    # pyrender's mesh.frag gamma-corrects mesh fragments (pow(color, 1/2.2))
+    # but the background comes from glClearColor and stays un-gammaed
+    covered = np.isfinite(zbuf)
+    img[covered] = np.power(np.clip(img[covered], 0.0, 1.0), 1.0 / 2.2)
     gray = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
     return np.stack([gray, gray, gray], axis=-1)
 

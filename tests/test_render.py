@@ -133,6 +133,62 @@ def test_project_voca_matches_reference_pinhole():
     )
 
 
+def test_shade_vertices_matches_gltf_pbr_oracle():
+    """Pin the shading to the Khronos glTF-WebGL-PBR BRDF pyrender's
+    mesh.frag ports: at n = v = l = h = +z every term is analytic.
+    Hand-computed here with independent arithmetic (reference scene
+    constants: base 0.3, metallic 0.8, roughness 0.8, five lights of
+    intensity 2.0, ambient 0.2; reference render/render.py:45-97)."""
+    from fdm_tpu.render.voca_rig import shade_vertices
+
+    # head-on: fresnel collapses to F0, geo to 1, D to 1/(pi*aR^2)
+    f0 = 0.04 * 0.2 + 0.3 * 0.8                    # mix(0.04, base, metal)
+    a_r = 0.8 * 0.8                                # alphaRoughness
+    # GGX at NdotH=1: f = NdotH^2*(aR^2-1)+1 = aR^2, so
+    # D = aR^2/(pi*f^2) = 1/(pi*aR^2)
+    dist = 1.0 / (np.pi * a_r * a_r)
+    c_diff = 0.3 * (1.0 - 0.04) * (1.0 - 0.8)
+    expected = 0.3 * 0.2 + 1.0 * 5 * 2.0 * (
+        (1.0 - f0) * c_diff / np.pi + f0 * 1.0 * dist / 4.0
+    )
+
+    normals = np.array([[0.0, 0.0, 1.0]])
+    got = shade_vertices(normals, vertices=np.array([[0.0, 0.0, 0.0]]),
+                         cam_pos=(0.0, 0.0, 1.0))
+    np.testing.assert_allclose(got[0], expected, rtol=1e-12)
+
+    # two-sided shading (SKIP_CULL_FACES): a flipped normal shades the same
+    got_flip = shade_vertices(-normals, vertices=np.array([[0.0, 0.0, 0.0]]),
+                              cam_pos=(0.0, 0.0, 1.0))
+    np.testing.assert_allclose(got_flip, got, rtol=1e-12)
+
+    # grazing normals keep the NdotL floor (1e-3) rather than going black,
+    # and stay strictly below the head-on value
+    grazing = shade_vertices(np.array([[1.0, 0.0, 0.0]]),
+                             vertices=np.array([[0.0, 0.0, 0.0]]),
+                             cam_pos=(0.0, 0.0, 1.0))
+    assert 0.3 * 0.2 < grazing[0] < got[0]
+
+
+def test_render_frame_gamma_on_mesh_only():
+    """pyrender gamma-corrects mesh fragments (pow 1/2.2) but not the
+    glClearColor background — covered pixels must be brighter than the
+    linear shade, background exactly 255/0."""
+    from fdm_tpu.render.voca_rig import render_frame_voca, shade_vertices
+
+    v, f = _uv_sphere(radius=0.08)
+    size = 120
+    img = render_frame_voca(v, f, dataset="vocaset", size=size)
+    gray = img[..., 0].astype(np.float64) / 255.0
+    center = gray[size // 2, size // 2]
+    # the sphere's nearest point has normal ~ +z: linear shade ^ (1/2.2)
+    head_on = shade_vertices(
+        np.array([[0.0, 0.0, 1.0]]), np.array([[0.0, 0.0, 0.08]])
+    )[0]
+    np.testing.assert_allclose(center, head_on ** (1 / 2.2), atol=0.02)
+    assert img[0, 0, 0] == 255  # background untouched by gamma
+
+
 def test_voca_rodrigues_matches_scipy():
     from scipy.spatial.transform import Rotation
 

@@ -189,6 +189,36 @@ def test_render_frame_gamma_on_mesh_only():
     assert img[0, 0, 0] == 255  # background untouched by gamma
 
 
+def test_voca_render_matches_checked_in_golden(monkeypatch):
+    """Regression pin for the FULL render path (projection, rotation,
+    z_offset, PBR shading, gamma, black background): byte-exact against a
+    checked-in frame on the numpy raster; the C++ raster may differ only on
+    shared-edge pixels (f32 vs f64 edge rounding, bounded fraction)."""
+    import fdm_tpu.data.native as native_mod
+    from fdm_tpu.data.native import native_available
+    from fdm_tpu.render.voca_rig import render_frame_voca
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "data",
+                     "golden_voca_sphere_128.npy")
+    )
+    v, f = _uv_sphere(radius=0.08)
+    kwargs = dict(
+        dataset="vocaset", size=128, rot=np.array([0.0, 0.4, 0.15]),
+        t_center=np.zeros(3), z_offset=0.02, background_black=True,
+    )
+
+    with monkeypatch.context() as m:
+        m.setattr(native_mod, "raster_gouraud", lambda *a, **k: False)
+        img_np = render_frame_voca(v, f, **kwargs)
+    np.testing.assert_array_equal(img_np[..., 0], golden)
+
+    if native_available():
+        img_c = render_frame_voca(v, f, **kwargs)[..., 0].astype(int)
+        diff = np.abs(img_c - golden.astype(int))
+        assert (diff > 2).mean() < 0.005, (diff > 2).mean()
+
+
 def test_voca_rodrigues_matches_scipy():
     from scipy.spatial.transform import Rotation
 

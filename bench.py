@@ -17,11 +17,13 @@ Suites (reference configs per BASELINE.md):
   train   : full-size MEAD stage-2 e2e step (HuBERT inside the program,
             joint FDM+encoder training, frozen conv+codec), steps/s + MFU,
             at batch 1 (the reference regime) and batch 8
-  bf16    : dtype-tagged records — batch-8 bf16 train MFU (the best
-            utilization point) and B=1 bf16 MEAD RTF (documents the
-            measured result that bf16 does NOT help latency-bound B=1
-            sampling; see CLAUDE.md fact 13)
-  throughput : batch-8 MEAD generation, per-clip RTF
+  bf16    : dtype-tagged records — batch-8 and batch-16 bf16 train MFU
+            (b16 is the best measured utilization point, 40%) and B=1
+            bf16 MEAD RTF (documents the measured result that bf16 does
+            NOT help latency-bound B=1 sampling; see CLAUDE.md fact 13)
+  throughput : batch-8 fp32 MEAD generation per-clip RTF (continuity
+            record) + batch-16 bf16 (the best measured serving point —
+            batched denoise IS compute-bound, so bf16 helps there)
   mead    : HuBERT-large + 1000-step ancestral DDPM + EVQ decode, 24 fps
             (diffusion_mead_encoder_decoder.py:663-665)
 
@@ -379,6 +381,12 @@ def main():
                 "mead", "ddpm", args.steps, args.seconds, args.repeats,
                 args.fused, args.dtype, batch_size=args.batch_size,
             ))
+            # best measured serving point: batched denoise is compute-bound
+            # (unlike B=1), so bf16 and a deeper batch both pay off there
+            ok = run_suite("mead_throughput_b16_bf16", lambda: bench_rtf(
+                "mead", "ddpm", args.steps, args.seconds, args.repeats,
+                args.fused, "bfloat16", batch_size=16,
+            )) or ok
         elif suite == "train":
             # an explicit --repeats wins; otherwise 20/10 steady-state steps
             ok = run_suite("train_b1", lambda: bench_train_step(
@@ -397,6 +405,11 @@ def main():
                 repeats=explicit_repeats or 10, dtype="bfloat16",
                 batch_size=8,
             ))
+            # best measured utilization point (40% MFU at batch 16)
+            ok = run_suite("train_b16_bf16", lambda: bench_train_step(
+                repeats=explicit_repeats or 10, dtype="bfloat16",
+                batch_size=16,
+            )) or ok
             ok = run_suite("mead_bf16", lambda: bench_rtf(
                 "mead", "ddpm", args.steps, args.seconds, args.repeats,
                 args.fused, "bfloat16",

@@ -369,10 +369,11 @@ def main():
               else ["biwi", "vocaset", "train", "bf16", "throughput",
                     "mead"])
     )
-    if args.only is None and args.dtype == "bfloat16":
+    if args.only is None and args.dtype == "bfloat16" and "bf16" in suites:
         # full run in bf16: the train/mead suites already measure bf16, so
         # the dedicated bf16 suite would emit duplicate metric names and
-        # repeat the measurements. An explicit --only bf16 always runs.
+        # repeat the measurements. An explicit --only bf16 always runs;
+        # --quick has already reduced suites to ["mead"].
         suites.remove("bf16")
     any_ok = False
     for suite in suites:

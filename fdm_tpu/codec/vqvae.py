@@ -52,6 +52,17 @@ def tokens_to_frames(z: jnp.ndarray, tokens_per_frame: int) -> jnp.ndarray:
     return z.reshape(B, L // tokens_per_frame, tokens_per_frame * D)
 
 
+def _pool_pair_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """Mask update for one stride-2 max-pool stage: floor(L/2) windows, a
+    window valid only when BOTH input frames are (the unpadded computation
+    drops an odd tail frame entirely, so a straddling half-valid window
+    must be masked out). The ONE definition shared by the encoder's pooling
+    (ConvSquasher) and the standalone mask downsampler — these must stay in
+    lock-step or masked batches diverge from per-clip computation."""
+    L = (mask.shape[1] // 2) * 2
+    return mask[:, :L:2] * mask[:, 1:L:2]
+
+
 def downsample_frame_mask(mask: jnp.ndarray, quant_factor: int) -> jnp.ndarray:
     """Full-frame-rate mask (B, T) -> latent-rate mask matching the
     ConvSquasher's length arithmetic: the first stride-2 conv keeps
@@ -66,8 +77,7 @@ def downsample_frame_mask(mask: jnp.ndarray, quant_factor: int) -> jnp.ndarray:
         if i == 0:
             mask = mask[:, ::2]
         else:
-            L = (mask.shape[1] // 2) * 2
-            mask = mask[:, :L:2] * mask[:, 1:L:2]
+            mask = _pool_pair_mask(mask)
     return mask
 
 
@@ -205,12 +215,7 @@ class ConvSquasher(nn.Module):
             x = _InstanceNorm(self.in_affine, name=f"norm_{i}")(x, mask)
             x = nn.max_pool(x, (2,), strides=(2,))
             if mask is not None:
-                # max_pool keeps floor(L/2) windows; a window is valid only
-                # if BOTH frames are — the unpadded computation drops an odd
-                # tail frame entirely, so a straddling half-valid window
-                # must be masked out (same rule as downsample_frame_mask)
-                L = (mask.shape[1] // 2) * 2
-                mask = mask[:, :L:2] * mask[:, 1:L:2]
+                mask = _pool_pair_mask(mask)
         return x, mask
 
 

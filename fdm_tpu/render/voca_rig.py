@@ -13,10 +13,11 @@ render/render.py:28-106):
     (render.py:41) and the `z_offset` camera shift (render.py:71);
   * five DirectionalLights of intensity 2.0 whose poses carry only
     translations (render.py:82-97) — pyrender directional lights ignore
-    position, so all five shine along -z; together with the 0.2 ambient and
-    the 0.3-gray metallic-roughness material the effective shade is
-    ambient + diffuse * max(n.z, 0), two-sided because the reference renders
-    with SKIP_CULL_FACES (render.py:99);
+    position, so all five shine along -z; the 0.2 scene ambient and the
+    0.3-gray metallic-roughness material feed the glTF-PBR BRDF below;
+    SKIP_CULL_FACES (render.py:99) rasterizes back faces too (visible only
+    through cavities), which shade near-ambient under the unflipped-normal
+    Khronos math;
   * background white (default) or black (render.py:57-60).
 
 Shading evaluates the same glTF 2.0 metallic-roughness BRDF as pyrender's
@@ -124,9 +125,15 @@ def shade_vertices(
     Smith geometric-occlusion form 2x/(x + sqrt(r^2 + (1-r^2)x^2)) with
     r = alphaRoughness = roughness^2; Trowbridge-Reitz/GGX distribution with
     alphaRoughness^2; diffuse (1-F) * c_diff/pi with c_diff =
-    base*(1-0.04)*(1-metallic); NdotL/NdotV clamped to [1e-3, 1] (NdotV via
-    abs, i.e. two-sided shading, matching SKIP_CULL_FACES);
-    per-light contribution NdotL * intensity * (diffuse + spec).
+    base*(1-0.04)*(1-metallic); NdotL/NdotV clamped to [1e-3, 1] with the
+    shader's abs() applied to NdotV ONLY — the normal is NOT flipped for
+    back-facing surfaces, so a back face shades near-ambient (its NdotL
+    sits at the 1e-3 floor). SKIP_CULL_FACES means pyrender rasterizes
+    those back faces at all (they are only visible through cavities of a
+    closed mesh); whether its shader additionally inverts the normal there
+    (the glTF double-sided rule) cannot be validated in-image, so we keep
+    the plain Khronos-reference math. Per-light contribution is
+    NdotL * intensity * (diffuse + spec).
 
     The view vector is the true per-vertex direction to the camera (not the
     -z approximation); pyrender evaluates this per fragment, so Gouraud
@@ -144,16 +151,15 @@ def shade_vertices(
         v_dir /= np.maximum(
             np.linalg.norm(v_dir, axis=1, keepdims=True), 1e-12
         )
-    # two-sided: flip normals toward the viewer (SKIP_CULL_FACES and the
-    # shader's abs(dot(n, v)) make back faces shade like front faces)
-    ndv_raw = np.sum(n * v_dir, axis=1)
-    n = n * np.where(ndv_raw < 0.0, -1.0, 1.0)[:, None]
     # all five lights shine along -z -> surface-to-light vector is +z
     l_dir = np.array([0.0, 0.0, 1.0])
     h = l_dir + v_dir
     h /= np.maximum(np.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+    # abs() on NdotV only (the shader's sole two-sidedness concession);
+    # the normal itself stays unflipped, so back faces bottom out at the
+    # 1e-3 NdotL floor and shade near-ambient
     ndl = np.clip(n @ l_dir, 1e-3, 1.0)
-    ndv = np.clip(np.abs(ndv_raw), 1e-3, 1.0)
+    ndv = np.clip(np.abs(np.sum(n * v_dir, axis=1)), 1e-3, 1.0)
     ndh = np.clip(np.sum(n * h, axis=1), 0.0, 1.0)
     vdh = np.clip(np.sum(v_dir * h, axis=1), 0.0, 1.0)
 

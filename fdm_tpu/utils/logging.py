@@ -10,6 +10,7 @@ the run directory exactly like it does for the reference trainers.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
@@ -44,7 +45,17 @@ class MetricLogger:
 
     def _write(self, record: dict):
         record["time"] = time.time()
-        self._fh.write(json.dumps(record) + "\n")
+        # json.dumps would emit bare NaN/Infinity tokens (invalid JSON) for
+        # non-finite floats — e.g. val_recon=nan from an empty eval split.
+        # Serialize them as null so every line stays strictly parseable.
+        record = {
+            k: (
+                None
+                if isinstance(v, float) and not math.isfinite(v) else v
+            )
+            for k, v in record.items()
+        }
+        self._fh.write(json.dumps(record, allow_nan=False) + "\n")
 
     def close(self):
         self._fh.close()

@@ -157,10 +157,13 @@ def test_shade_vertices_matches_gltf_pbr_oracle():
                          cam_pos=(0.0, 0.0, 1.0))
     np.testing.assert_allclose(got[0], expected, rtol=1e-12)
 
-    # two-sided shading (SKIP_CULL_FACES): a flipped normal shades the same
+    # back-facing surface (unflipped Khronos math): NdotL bottoms out at
+    # the 1e-3 floor, so the shade collapses to near the 0.06 ambient —
+    # NOT to the front-face value (the shader's abs() is on NdotV only)
     got_flip = shade_vertices(-normals, vertices=np.array([[0.0, 0.0, 0.0]]),
                               cam_pos=(0.0, 0.0, 1.0))
-    np.testing.assert_allclose(got_flip, got, rtol=1e-12)
+    assert got_flip[0] < 0.1 * got[0] + 0.06 + 1e-6
+    assert got_flip[0] >= 0.3 * 0.2  # ambient floor preserved
 
     # grazing normals keep the NdotL floor (1e-3) rather than going black,
     # and stay strictly below the head-on value

@@ -54,6 +54,18 @@ def test_metric_logger_jsonl(tmp_path):
     assert lines[1]["kind"] == "epoch" and lines[1]["steps"] == 10
 
 
+def test_metric_logger_nonfinite_stays_valid_json(tmp_path):
+    """val_recon=nan (empty eval split) must serialize as null, not a bare
+    NaN token that breaks strict JSON consumers of the .jsonl."""
+    logger = MetricLogger(str(tmp_path), "run", tensorboard=False)
+    logger.log_epoch(1, {"val_recon": float("nan"), "up": float("inf")})
+    logger.close()
+    raw = open(logger.path).read()
+    assert "NaN" not in raw and "Infinity" not in raw
+    rec = json.loads(raw)  # strict parse succeeds
+    assert rec["val_recon"] is None and rec["up"] is None
+
+
 def test_error_paths_raise_cleanly():
     """User-facing misconfigurations fail with actionable messages."""
     import jax

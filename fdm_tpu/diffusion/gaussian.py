@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fdm_tpu.diffusion.schedule import DiffusionSchedule, extract
+from fdm_tpu.ops.basic import masked_mean
 
 DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
@@ -120,11 +121,7 @@ def p_losses(
         err = jnp.square(x_start - x_recon)
     else:
         raise NotImplementedError(loss_type)
-    if mask is not None:
-        w = mask[..., None].astype(err.dtype)
-        loss = jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * err.shape[-1], 1.0)
-    else:
-        loss = jnp.mean(err)
+    loss = masked_mean(err, mask)
     return loss, x_recon
 
 
@@ -236,16 +233,24 @@ def ddim_sample(
             schedule.alphas_cumprod, jnp.maximum(t_next, 0), nd
         )
         if eta == 0.0:
-            sigma = jnp.zeros_like(alpha_bar)
+            # deterministic DDIM (every preset): skip the per-step
+            # full-latent Gaussian draw entirely — XLA cannot fold
+            # `normal(...) * 0.0` away (float NaN semantics), so the guard
+            # removes a (B, L, C) threefry evaluation from every step
+            c = jnp.sqrt(1 - alpha_bar_next)
+            x_next = x_recon * jnp.sqrt(alpha_bar_next) + c * pred_noise
         else:
             sigma = (
                 eta
                 * jnp.sqrt((1 - alpha_bar) / (1 - alpha_bar_next))
                 * jnp.sqrt(1 - alpha_bar / alpha_bar_next)
             )
-        c = jnp.sqrt(1 - alpha_bar_next - sigma**2)
-        noise = jax.random.normal(step_key, shape, dtype=dtype)
-        x_next = x_recon * jnp.sqrt(alpha_bar_next) + c * pred_noise + sigma * noise
+            c = jnp.sqrt(1 - alpha_bar_next - sigma**2)
+            noise = jax.random.normal(step_key, shape, dtype=dtype)
+            x_next = (
+                x_recon * jnp.sqrt(alpha_bar_next)
+                + c * pred_noise + sigma * noise
+            )
         # guard: if t_next < 0 this pair carries the x0 prediction instead
         is_last = (t_next[0] < 0).astype(dtype)
         x_next = (1.0 - is_last) * x_next + is_last * x_recon

@@ -17,11 +17,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from fdm_tpu.kernels._util import LANE as _LANE, round_up as _round_up
 
 
 def instance_stats(x: jnp.ndarray, eps: float = 1e-5):

@@ -30,11 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fdm_tpu.ops.masks import alibi_slopes
 
-_LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from fdm_tpu.kernels._util import LANE as _LANE, round_up as _round_up
 
 
 def _attn_kernel(slope_ref, q_ref, k_ref, v_ref, out_ref, *, period: int,

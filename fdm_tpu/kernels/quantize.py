@@ -23,12 +23,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANE = 128
+from fdm_tpu.kernels._util import LANE as _LANE, round_up as _round_up
+
 _ROW_BLOCK = 256
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+def _check_partition_args(partition_ids, partitions: int) -> None:
+    """partition_ids and partitions must be given together — the default
+    partitions=0 would hit N // 0 at trace time with a bare
+    ZeroDivisionError instead of an actionable message."""
+    if partition_ids is not None and partitions <= 0:
+        raise ValueError(
+            "partition_ids requires partitions > 0 (the number of equal "
+            "codebook slices, e.g. EVQ emotion_partitions)"
+        )
 
 
 def _nn_kernel(z_ref, e_ref, e2_ref, part_ref, idx_ref, *, slice_size: int,
@@ -62,6 +70,7 @@ def nearest_code_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Global argmin indices (M,) int32 of ||z - e||^2 over codebook rows."""
+    _check_partition_args(partition_ids, partitions)
     M, D = z.shape
     N = codebook.shape[0]
     Mp = _round_up(max(M, 8), _ROW_BLOCK)
@@ -121,6 +130,7 @@ def nearest_code(
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Nearest codebook entry per row of z; auto-dispatches Pallas on TPU."""
+    _check_partition_args(partition_ids, partitions)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:

@@ -210,6 +210,10 @@ class FDM(nn.Module):
             D, dtype=self.dtype,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
         )
+        # the reference's PositionalEncoding/PeriodicPositionalEncoding end
+        # with nn.Dropout(0.1) on the PE-added features, live in forward
+        # (fdm_vqvae_mead.py:97,203; fdm_vocaset.py:42,166) — train-mode only
+        self.pe_drop = nn.Dropout(cfg.dropout)
         layer_cls = (
             nn.remat(_DecoderLayer, static_argnums=(4,))
             if self.remat else _DecoderLayer
@@ -267,11 +271,13 @@ class FDM(nn.Module):
         audio_feat: jnp.ndarray,         # (B, T, D) from prepare_audio
         style_one_hot: jnp.ndarray,      # (B, style_classes)
         emotion_one_hot: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
     ):
         """Everything before the decoder-layer stack: token regroup, latent
-        encoder, style/emotion/time conditioning, PE. Returns (x, mem) ready
-        for the layers — split out so the pipeline-parallel runner
-        (fdm_tpu.parallel.pipeline) can stage the layer stack separately."""
+        encoder, style/emotion/time conditioning, PE (+ the reference's
+        train-mode PE dropout). Returns (x, mem) ready for the layers —
+        split out so the pipeline-parallel runner (fdm_tpu.parallel.pipeline)
+        can stage the layer stack separately."""
         cfg = self.config
         B, L, C = x_t.shape
         tpf = cfg.tokens_per_frame
@@ -310,6 +316,7 @@ class FDM(nn.Module):
             mem = audio_feat + time[:, None, :]
 
         x = x + jnp.asarray(self._pe[:T], dtype=x.dtype)[None]
+        x = self.pe_drop(x, deterministic=deterministic)
         return x, mem
 
     def alibi_bias(self, T: int):
@@ -358,7 +365,7 @@ class FDM(nn.Module):
     ) -> jnp.ndarray:
         """One denoiser evaluation: predicts clean x0 latents from x_t."""
         x, mem = self.denoise_embed(
-            x_t, t, audio_feat, style_one_hot, emotion_one_hot
+            x_t, t, audio_feat, style_one_hot, emotion_one_hot, deterministic
         )
         bias = self.alibi_bias(x.shape[1])
         if cross_audio is not None:

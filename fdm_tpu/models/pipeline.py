@@ -36,6 +36,7 @@ from fdm_tpu.diffusion import (
     p_losses,
 )
 from fdm_tpu.models.fdm import FDM
+from fdm_tpu.ops import masked_mean
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +58,16 @@ class LatentDiffusion:
                with_audio_encoder: bool = False,
                allow_tiny_audio_encoder: bool = False,
                remat: bool = False) -> "LatentDiffusion":
+        if config.fdm.num_timesteps != config.diffusion.timesteps:
+            # a drift here is SILENT downstream: the FDM's timestep one-hot
+            # emits all-zero rows for t >= fdm.num_timesteps, so denoise
+            # steps lose their time conditioning with no error
+            raise ValueError(
+                f"fdm.num_timesteps ({config.fdm.num_timesteps}) must equal "
+                f"diffusion.timesteps ({config.diffusion.timesteps}); "
+                "override both together (--set diffusion.timesteps=N --set "
+                "fdm.num_timesteps=N)"
+            )
         audio_encoder = None
         if with_audio_encoder:
             from fdm_tpu.audio import AudioEncoder
@@ -131,13 +142,7 @@ class LatentDiffusion:
             frame_mask,
         )
         err = jnp.abs(recon - motion)
-        if frame_mask is not None:
-            w = frame_mask[..., None]
-            recon_loss = jnp.sum(err * w) / jnp.maximum(
-                jnp.sum(w) * err.shape[-1], 1.0
-            )
-        else:
-            recon_loss = jnp.mean(err)
+        recon_loss = masked_mean(err, frame_mask)
         total = recon_loss + quant_loss
         return total, {
             "recon_loss": recon_loss,
@@ -224,13 +229,7 @@ class LatentDiffusion:
         )
         recon_motion = recon_motion + template
         err = jnp.square(recon_motion - motion)
-        if frame_mask is not None:
-            w = frame_mask[..., None]
-            recon_loss = jnp.sum(err * w) / jnp.maximum(
-                jnp.sum(w) * err.shape[-1], 1.0
-            )
-        else:
-            recon_loss = jnp.mean(err)
+        recon_loss = masked_mean(err, frame_mask)
 
         total = denoise_loss + recon_loss
         return total, {
@@ -350,6 +349,17 @@ class LatentDiffusion:
         """Audio features -> vertex animation (B, T, in_dim). One XLA program."""
         cfg = self.config
         B, T = audio_hidden.shape[:2]
+        if cfg.vqvae.quant_factor > 0:
+            # latent_shape below assumes one latent frame per audio frame;
+            # with temporal downsampling the decoder would upsample by
+            # 2^quant_factor and silently return an animation that many
+            # times longer than the audio (training crashes loudly via the
+            # denoise_embed frame check; make inference loud too)
+            raise NotImplementedError(
+                "generate() supports quant_factor == 0 only (every shipped "
+                "preset); a quant_factor > 0 codec changes the latent frame "
+                "rate and needs an audio/latent alignment policy"
+            )
         latent_shape = (
             B, T * cfg.vqvae.face_quan_num, cfg.vqvae.zquant_dim
         )

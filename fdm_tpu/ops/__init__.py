@@ -1,6 +1,7 @@
 from fdm_tpu.ops.basic import (
     fill_padding_with_edge,
     instance_norm_1d,
+    masked_mean,
     mish,
     replicate_pad_1d,
 )
@@ -13,6 +14,7 @@ from fdm_tpu.ops.masks import alibi_biased_mask, enc_dec_diagonal_allowed, lengt
 
 __all__ = [
     "fill_padding_with_edge",
+    "masked_mean",
     "mish",
     "instance_norm_1d",
     "replicate_pad_1d",

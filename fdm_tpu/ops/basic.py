@@ -11,6 +11,21 @@ def mish(x: jnp.ndarray) -> jnp.ndarray:
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+def masked_mean(err: jnp.ndarray, mask) -> jnp.ndarray:
+    """Padding-aware mean of a (B, T, C) error tensor.
+
+    mask is an optional (B, T) weight (1 = real frame, 0 = padding); the
+    normalizer counts only real elements (sum(mask) * C, floored at 1 for
+    fully-masked batches), so bucketed static-shape padding never dilutes
+    the objective. The ONE definition used by the stage-1 recon loss, the
+    stage-2 recon loss, and the diffusion p_losses — keep them identical or
+    the losses silently diverge under padding."""
+    if mask is None:
+        return jnp.mean(err)
+    w = mask[..., None].astype(err.dtype)
+    return jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * err.shape[-1], 1.0)
+
+
 def instance_norm_1d(
     x: jnp.ndarray, eps: float = 1e-5, axis: int = 1
 ) -> jnp.ndarray:

@@ -193,6 +193,46 @@ def test_zero_init_output_head():
     np.testing.assert_array_equal(np.asarray(out), 0.0)
 
 
+def test_pe_dropout_active_in_training_mode():
+    """The reference's PositionalEncoding ends with nn.Dropout(0.1) on the
+    PE-added features, live in forward (fdm_vqvae_mead.py:97,203) — our
+    denoise_embed must drop in train mode and be exact in eval mode."""
+    cfg = small_cfg()
+    model = FDM(cfg)
+    B, T = 2, 4
+    L, C = T * cfg.tokens_per_frame, cfg.feature_dim // cfg.tokens_per_frame
+    x_t = jax.random.normal(jax.random.PRNGKey(0), (B, L, C))
+    audio = jnp.ones((B, T, cfg.audio_dim * cfg.audio_pair_factor))
+    style = jnp.eye(5)[:B]
+    emo = jnp.eye(7)[:B]
+    t = jnp.zeros((B,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), x_t, t, audio, style, emo)
+    audio_feat = model.apply(params, audio, method="prepare_audio")
+
+    def embed(deterministic, seed):
+        x, _ = model.apply(
+            params, x_t, t, audio_feat, style, emo, deterministic,
+            method="denoise_embed",
+            rngs={"dropout": jax.random.PRNGKey(seed)},
+        )
+        return np.asarray(x)
+
+    eval_a, eval_b = embed(True, 0), embed(True, 1)
+    np.testing.assert_array_equal(eval_a, eval_b)  # eval: no dropout
+
+    train_a, train_b = embed(False, 0), embed(False, 1)
+    assert np.abs(train_a - train_b).max() > 0          # key-dependent
+    assert np.abs(train_a - eval_a).max() > 0           # differs from eval
+    # inverted dropout: surviving entries are eval / (1 - p), dropped are 0
+    p = cfg.dropout
+    kept = np.abs(train_a) > 1e-12
+    np.testing.assert_allclose(
+        train_a[kept], eval_a[kept] / (1.0 - p), rtol=1e-5
+    )
+    frac_dropped = 1.0 - kept.mean()
+    assert 0.02 < frac_dropped < 0.3   # ~p of entries zeroed
+
+
 def test_audio_frame_mismatch_raises():
     cfg = small_cfg()
     model = FDM(cfg)

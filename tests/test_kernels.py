@@ -220,3 +220,20 @@ def test_flash_handles_non_divisible_block_pair():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
     )
+
+
+def test_nearest_code_partition_args_validated():
+    """partition_ids without partitions must raise an actionable error, not
+    ZeroDivisionError from N // 0 at trace time."""
+    import jax.numpy as jnp
+    import pytest
+
+    from fdm_tpu.kernels.quantize import nearest_code, nearest_code_pallas
+
+    z = jnp.zeros((4, 8))
+    codebook = jnp.zeros((16, 8))
+    ids = jnp.zeros((4,), jnp.int32)
+    with pytest.raises(ValueError, match="partitions > 0"):
+        nearest_code(z, codebook, partition_ids=ids)
+    with pytest.raises(ValueError, match="partitions > 0"):
+        nearest_code_pallas(z, codebook, partition_ids=ids)

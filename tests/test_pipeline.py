@@ -172,3 +172,32 @@ def test_generate_is_deterministic_given_key():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     c = run(jax.random.PRNGKey(12))
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_timestep_config_drift_raises():
+    """fdm.num_timesteps drifting from diffusion.timesteps would silently
+    zero the timestep one-hot for t >= num_timesteps — create() refuses."""
+    cfg = tiny_pipeline()
+    bad = dataclasses.replace(
+        cfg, diffusion=dataclasses.replace(cfg.diffusion, timesteps=40)
+    )
+    with pytest.raises(ValueError, match="num_timesteps"):
+        LatentDiffusion.create(bad)
+
+
+def test_generate_rejects_quant_factor():
+    """generate()'s latent_shape assumes one latent frame per audio frame;
+    a quant_factor > 0 codec must be refused loudly, not desync silently."""
+    cfg = tiny_pipeline()
+    qf = dataclasses.replace(
+        cfg, vqvae=dataclasses.replace(cfg.vqvae, quant_factor=1)
+    )
+    ld, vq_params, fdm_params, motion, template, audio, style, emo = (
+        init_pipeline(cfg)
+    )
+    ld_qf = dataclasses.replace(ld, config=qf)
+    with pytest.raises(NotImplementedError, match="quant_factor"):
+        ld_qf.generate(
+            vq_params, fdm_params, jax.random.PRNGKey(0), audio,
+            template, style, emo, sampler="ddim", num_steps=2,
+        )

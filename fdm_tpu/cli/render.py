@@ -33,8 +33,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "rendering instead of point splats")
     parser.add_argument("--rig", default="voca", choices=["voca", "ortho"],
                         help="voca = reference perspective camera + raymond "
-                             "lighting + Gouraud shading (needs --faces); "
+                             "lighting + per-fragment PBR shading (needs "
+                             "--faces); "
                              "ortho = fast orthographic fallback")
+    parser.add_argument("--shading", default="fragment",
+                        choices=["fragment", "gouraud"],
+                        help="voca rig: per-fragment glTF-PBR (pyrender's "
+                             "pipeline, default) or per-vertex Gouraud "
+                             "(cheaper)")
     parser.add_argument("--camera", default="vocaset",
                         choices=["vocaset", "biwi", "mead"],
                         help="intrinsics preset (reference render.py:30-37)")
@@ -73,6 +79,7 @@ def main(argv=None) -> int:
                 verts, size=args.size, faces=faces, rig=args.rig,
                 dataset=args.camera, z_offset=args.z_offset,
                 background_black=args.background_black,
+                shading=args.shading,
             ),
             out, fps=args.fps, audio_path=audio,
         )

@@ -61,6 +61,13 @@ def _load_lib(path: str = _LIB_PATH):
         ctypes.c_int64, ctypes.c_int, _f32p, _f32p,
     ]
     lib.fdm_raster_gouraud.restype = None
+    if hasattr(lib, "fdm_raster_pbr"):
+        lib.fdm_raster_pbr.argtypes = [
+            _f32p, _f32p, _f32p, _f32p,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int, _f32p, _f32p, _f32p,
+        ]
+        lib.fdm_raster_pbr.restype = None
     _lib = lib
     return lib
 
@@ -80,6 +87,30 @@ def raster_gouraud(tri_pix: np.ndarray, tri_z: np.ndarray,
         np.ascontiguousarray(tri_shade, np.float32),
         np.ascontiguousarray(ok, np.uint8),
         tri_pix.shape[0], size, img, zbuf,
+    )
+    return True
+
+
+def raster_pbr(tri_pix: np.ndarray, tri_z: np.ndarray,
+               tri_nrm: np.ndarray, tri_pos: np.ndarray, ok: np.ndarray,
+               size: int, params: np.ndarray, img: np.ndarray,
+               zbuf: np.ndarray) -> bool:
+    """Z-buffered PER-FRAGMENT glTF-PBR fill: perspective-correct normal and
+    position interpolation, per-pixel BRDF (what pyrender's mesh.frag does).
+    `params` packs the shading constants (see fdm_raster_pbr). Returns False
+    when the native library isn't built or predates the symbol — the caller
+    falls back to the numpy loop."""
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "fdm_raster_pbr"):
+        return False
+    lib.fdm_raster_pbr(
+        np.ascontiguousarray(tri_pix, np.float32),
+        np.ascontiguousarray(tri_z, np.float32),
+        np.ascontiguousarray(tri_nrm, np.float32),
+        np.ascontiguousarray(tri_pos, np.float32),
+        np.ascontiguousarray(ok, np.uint8),
+        tri_pix.shape[0], size,
+        np.ascontiguousarray(params, np.float32), img, zbuf,
     )
     return True
 

@@ -117,12 +117,14 @@ def render_sequence(
     rot: Optional[np.ndarray] = None,   # axis-angle pre-rotation about the
                                         # first frame's centroid
                                         # (reference render.py:41,128)
+    shading: str = "fragment",          # voca rig: per-fragment PBR or
+                                        # "gouraud" (cheaper)
 ) -> Iterable[np.ndarray]:
     """Yield one frame per timestep.
 
     rig="voca" (default, needs `faces`): the reference's pyrender scene —
-    perspective VOCA camera, raymond lighting, smooth Gouraud shading
-    (fdm_tpu.render.voca_rig). rig="ortho": the fast fallback — flat-shaded
+    perspective VOCA camera, raymond lighting, per-fragment glTF-PBR
+    shading (fdm_tpu.render.voca_rig). rig="ortho": the fast fallback — flat-shaded
     painter's-algorithm meshes with `faces`, depth-shaded point splats
     without (sequence-constant normalization)."""
     verts = np.asarray(vertices, np.float32)
@@ -136,7 +138,7 @@ def render_sequence(
             yield render_frame_voca(
                 verts[t], faces, dataset=dataset, size=size,
                 rot=rot, t_center=t_center, z_offset=z_offset,
-                background_black=background_black,
+                background_black=background_black, shading=shading,
             )
         return
     lo = verts.reshape(-1, 3).min(axis=0)

@@ -24,12 +24,15 @@ Shading evaluates the same glTF 2.0 metallic-roughness BRDF as pyrender's
 `mesh.frag` (a port of the Khronos glTF-WebGL-PBR reference shader) term by
 term — Schlick Fresnel with reflectance90, Smith occlusion, GGX
 distribution, (1-F)*c_diff/pi diffuse, per-light NdotL weighting, final
-1/2.2 gamma on mesh fragments only — with per-vertex view vectors. The
-remaining deviation from pyrender is interpolation order: we Gouraud-
-interpolate the per-vertex BRDF result, pyrender evaluates it per fragment
-(and in-image validation against a GL golden frame is impossible; see
-PARITY.md). Pure numpy; rendering is offline host tooling, not a TPU
-workload (SURVEY.md §2.4).
+1/2.2 gamma on mesh fragments only. The default `shading="fragment"` path
+does it exactly the way the GL pipeline does: normals and world positions
+are interpolated across each triangle with PERSPECTIVE-CORRECT barycentrics
+(GL `smooth` varyings), renormalized per pixel, and the BRDF is evaluated
+per fragment; depth tests interpolate 1/z (window-space ordering).
+`shading="gouraud"` keeps the cheaper per-vertex evaluation. In-image
+validation against a GL golden frame remains impossible (no OSMesa; see
+PARITY.md). Pure numpy + the optional C++ fill loops; rendering is offline
+host tooling, not a TPU workload (SURVEY.md §2.4).
 """
 
 from __future__ import annotations
@@ -136,8 +139,9 @@ def shade_vertices(
     NdotL * intensity * (diffuse + spec).
 
     The view vector is the true per-vertex direction to the camera (not the
-    -z approximation); pyrender evaluates this per fragment, so Gouraud
-    interpolation of the result is the only remaining difference. Returns
+    -z approximation). This per-VERTEX evaluation feeds the Gouraud path;
+    the default per-fragment path instead interpolates normals/positions
+    and evaluates the same BRDF per pixel (see module docstring). Returns
     LINEAR radiance — the shader's final pow(color, 1/2.2) gamma is applied
     per covered pixel by render_frame_voca, as pyrender applies it to mesh
     fragments but not to the glClearColor background."""
@@ -151,33 +155,48 @@ def shade_vertices(
         v_dir /= np.maximum(
             np.linalg.norm(v_dir, axis=1, keepdims=True), 1e-12
         )
+    return _brdf_gray(n, v_dir)
+
+
+def _shading_constants() -> Tuple[float, float, float, float, float, float]:
+    """(f0, reflectance90, alphaRoughness, c_diff, light_sum, ambient) for
+    the reference scene's material/lights."""
+    f0 = 0.04 * (1.0 - METALLIC) + BASE_COLOR * METALLIC
+    refl90 = min(f0 * 25.0, 1.0)
+    a_r = ROUGHNESS * ROUGHNESS        # alphaRoughness
+    c_diff = BASE_COLOR * (1.0 - 0.04) * (1.0 - METALLIC)
+    return (f0, refl90, a_r, c_diff, 5.0 * LIGHT_INTENSITY,
+            BASE_COLOR * AMBIENT)
+
+
+def _brdf_gray(n: np.ndarray, v_dir: np.ndarray) -> np.ndarray:
+    """Khronos glTF-WebGL-PBR gray radiance for unit normals/view dirs
+    (..., 3) under the reference scene's five -z directional lights +
+    ambient. Shared by the per-vertex (Gouraud) and per-fragment paths —
+    the latter evaluates it at interpolated, renormalized fragments."""
+    f0, refl90, a_r, c_diff, light_sum, ambient = _shading_constants()
     # all five lights shine along -z -> surface-to-light vector is +z
-    l_dir = np.array([0.0, 0.0, 1.0])
-    h = l_dir + v_dir
-    h /= np.maximum(np.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+    h = v_dir + np.array([0.0, 0.0, 1.0])
+    h = h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
     # abs() on NdotV only (the shader's sole two-sidedness concession);
     # the normal itself stays unflipped, so back faces bottom out at the
     # 1e-3 NdotL floor and shade near-ambient
-    ndl = np.clip(n @ l_dir, 1e-3, 1.0)
-    ndv = np.clip(np.abs(np.sum(n * v_dir, axis=1)), 1e-3, 1.0)
-    ndh = np.clip(np.sum(n * h, axis=1), 0.0, 1.0)
-    vdh = np.clip(np.sum(v_dir * h, axis=1), 0.0, 1.0)
+    ndl = np.clip(n[..., 2], 1e-3, 1.0)
+    ndv = np.clip(np.abs(np.sum(n * v_dir, axis=-1)), 1e-3, 1.0)
+    ndh = np.clip(np.sum(n * h, axis=-1), 0.0, 1.0)
+    vdh = np.clip(np.sum(v_dir * h, axis=-1), 0.0, 1.0)
 
-    f0 = 0.04 * (1.0 - METALLIC) + BASE_COLOR * METALLIC
-    refl90 = min(f0 * 25.0, 1.0)
     fres = f0 + (refl90 - f0) * (1.0 - vdh) ** 5
-    r = ROUGHNESS * ROUGHNESS          # alphaRoughness
-    r2 = r * r
+    r2 = a_r * a_r
     att_l = 2.0 * ndl / (ndl + np.sqrt(r2 + (1.0 - r2) * ndl * ndl))
     att_v = 2.0 * ndv / (ndv + np.sqrt(r2 + (1.0 - r2) * ndv * ndv))
     geo = att_l * att_v
     fd = (ndh * r2 - ndh) * ndh + 1.0
     dist = r2 / (np.pi * fd * fd)
-    c_diff = BASE_COLOR * (1.0 - 0.04) * (1.0 - METALLIC)
     diffuse = (1.0 - fres) * c_diff / np.pi
     spec = fres * geo * dist / (4.0 * ndl * ndv)
-    radiance = ndl * (5.0 * LIGHT_INTENSITY) * (diffuse + spec)
-    return np.clip(BASE_COLOR * AMBIENT + radiance, 0.0, 1.0)
+    radiance = ndl * light_sum * (diffuse + spec)
+    return np.clip(ambient + radiance, 0.0, 1.0)
 
 
 def render_frame_voca(
@@ -189,9 +208,15 @@ def render_frame_voca(
     t_center: Optional[np.ndarray] = None,
     z_offset: float = 0.0,
     background_black: bool = False,
+    shading: str = "fragment",
 ) -> np.ndarray:
-    """One (size, size, 3) uint8 frame: Gouraud-shaded z-buffered raster of
-    the mesh through the VOCA rig."""
+    """One (size, size, 3) uint8 frame: z-buffered raster of the mesh
+    through the VOCA rig. `shading="fragment"` (default) interpolates
+    normals/positions perspective-correct and evaluates the glTF-PBR BRDF
+    per pixel (pyrender's pipeline); `"gouraud"` interpolates the
+    per-vertex BRDF result (cheaper, visually close)."""
+    if shading not in ("fragment", "gouraud"):
+        raise ValueError(f"unknown shading mode: {shading!r}")
     v = np.asarray(vertices, np.float64)
     if rot is not None and np.any(np.asarray(rot) != 0):
         c = (
@@ -200,10 +225,9 @@ def render_frame_voca(
         )
         v = (rodrigues(rot) @ (v - c).T).T + c
 
+    cam_pos = (0.0, 0.0, 1.0 - z_offset)
     pix, depth = project_voca(v, dataset, size, z_offset)
-    shade = shade_vertices(
-        vertex_normals(v, faces), v, cam_pos=(0.0, 0.0, 1.0 - z_offset)
-    )
+    normals = vertex_normals(v, faces)
 
     bg = 0.0 if background_black else 1.0
     img = np.full((size, size), bg, np.float32)
@@ -212,7 +236,6 @@ def render_frame_voca(
     near, far = FRUSTUM["near"], FRUSTUM["far"]
     tri_pix = pix[faces]          # (F, 3, 2)
     tri_z = depth[faces]          # (F, 3)
-    tri_shade = shade[faces]      # (F, 3)
     # frustum cull: all three verts inside [near, far]
     ok = ((tri_z > near) & (tri_z < far)).all(axis=1)
     # screen cull: bbox intersects the viewport
@@ -223,10 +246,24 @@ def render_frame_voca(
 
     # hot loop: C++ rasterizer from the native runtime when built
     # (~100x the python loop at FLAME face counts), numpy fallback below
-    from fdm_tpu.data.native import raster_gouraud
+    from fdm_tpu.data.native import raster_gouraud, raster_pbr
 
-    if not raster_gouraud(tri_pix, tri_z, tri_shade, ok, size, img, zbuf):
-        _raster_numpy(tri_pix, tri_z, tri_shade, ok, size, img, zbuf)
+    if shading == "fragment":
+        tri_nrm = normals[faces]  # (F, 3, 3)
+        tri_pos = v[faces]        # (F, 3, 3)
+        params = np.array(
+            list(cam_pos) + list(_shading_constants()), np.float32
+        )
+        if not raster_pbr(tri_pix, tri_z, tri_nrm, tri_pos, ok, size,
+                          params, img, zbuf):
+            _raster_pbr_numpy(tri_pix, tri_z, tri_nrm, tri_pos, ok, size,
+                              cam_pos, img, zbuf)
+    else:
+        shade = shade_vertices(normals, v, cam_pos=cam_pos)
+        tri_shade = shade[faces]  # (F, 3)
+        if not raster_gouraud(tri_pix, tri_z, tri_shade, ok, size, img,
+                              zbuf):
+            _raster_numpy(tri_pix, tri_z, tri_shade, ok, size, img, zbuf)
 
     # pyrender's mesh.frag gamma-corrects mesh fragments (pow(color, 1/2.2))
     # but the background comes from glClearColor and stays un-gammaed
@@ -234,6 +271,58 @@ def render_frame_voca(
     img[covered] = np.power(np.clip(img[covered], 0.0, 1.0), 1.0 / 2.2)
     gray = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
     return np.stack([gray, gray, gray], axis=-1)
+
+
+def _raster_pbr_numpy(tri_pix, tri_z, tri_nrm, tri_pos, ok, size, cam_pos,
+                      img, zbuf) -> None:
+    """Pure-numpy per-fragment glTF-PBR fill (identical math to the C++
+    fdm_raster_pbr; used when native/libfdm_native.so isn't built or is
+    stale): perspective-correct barycentric interpolation of normals and
+    world positions, per-pixel renormalization and BRDF, 1/z depth."""
+    cam = np.asarray(cam_pos, np.float64)
+    for i in np.nonzero(ok)[0]:
+        p = tri_pix[i]
+        x0 = max(int(np.floor(p[:, 0].min())), 0)
+        x1 = min(int(np.ceil(p[:, 0].max())) + 1, size)
+        y0 = max(int(np.floor(p[:, 1].min())), 0)
+        y1 = min(int(np.ceil(p[:, 1].max())) + 1, size)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        ax, ay = p[0]
+        bx, by = p[1]
+        cx_, cy_ = p[2]
+        den = (by - cy_) * (ax - cx_) + (cx_ - bx) * (ay - cy_)
+        if abs(den) < 1e-12:
+            continue
+        gx = np.arange(x0, x1, dtype=np.float64)[None, :] + 0.5
+        gy = np.arange(y0, y1, dtype=np.float64)[:, None] + 0.5
+        w0 = ((by - cy_) * (gx - cx_) + (cx_ - bx) * (gy - cy_)) / den
+        w1 = ((cy_ - ay) * (gx - cx_) + (ax - cx_) * (gy - cy_)) / den
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        if not inside.any():
+            continue
+        # perspective-correct weights wi/zi; depth = 1 / sum (GL ordering)
+        pw0 = w0 / tri_z[i, 0]
+        pw1 = w1 / tri_z[i, 1]
+        pw2 = w2 / tri_z[i, 2]
+        inv = pw0 + pw1 + pw2
+        z = 1.0 / inv
+        sub_z = zbuf[y0:y1, x0:x1]
+        upd = inside & (z < sub_z)
+        if not upd.any():
+            continue
+        b = np.stack([pw0[upd], pw1[upd], pw2[upd]], axis=-1) / inv[upd][
+            :, None
+        ]
+        n = b @ tri_nrm[i]
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        v_dir = cam - b @ tri_pos[i]
+        v_dir /= np.maximum(
+            np.linalg.norm(v_dir, axis=-1, keepdims=True), 1e-12
+        )
+        sub_z[upd] = z[upd].astype(np.float32)
+        img[y0:y1, x0:x1][upd] = _brdf_gray(n, v_dir).astype(np.float32)
 
 
 def _raster_numpy(tri_pix, tri_z, tri_shade, ok, size, img, zbuf) -> None:

@@ -354,6 +354,114 @@ void fdm_raster_gouraud(const float* tri_pix,   // (F, 3, 2) pixel xy
   }
 }
 
+// ---- per-fragment PBR rasterizer (host render path) ----
+//
+// Per-PIXEL evaluation of the same Khronos glTF-WebGL-PBR BRDF the Gouraud
+// path evaluates per vertex — this is what pyrender's mesh.frag actually
+// does (reference render/render.py renders through pyrender): interpolate
+// the normal and world position across the triangle with PERSPECTIVE-
+// CORRECT barycentrics (GL `smooth` varyings), normalize per fragment,
+// then shade. Depth is interpolated as 1/z (GL window-space ordering).
+// `params` = {cam_x, cam_y, cam_z, f0, reflectance90, alphaRoughness,
+// c_diff, light_sum, ambient}; the light direction is +z (all five
+// reference raymond lights shine along -z).
+
+void fdm_raster_pbr(const float* tri_pix,   // (F, 3, 2) pixel xy
+                    const float* tri_z,     // (F, 3) camera depth
+                    const float* tri_nrm,   // (F, 3, 3) vertex normals
+                    const float* tri_pos,   // (F, 3, 3) world positions
+                    const uint8_t* ok,      // (F,) 1 = rasterize
+                    int64_t nfaces, int size,
+                    const float* params,    // [9] shading constants
+                    float* img,             // (size*size)
+                    float* zbuf) {          // (size*size)
+  const double camx = params[0], camy = params[1], camz = params[2];
+  const double f0 = params[3], refl90 = params[4];
+  const double a_r = params[5];            // alphaRoughness = roughness^2
+  const double c_diff = params[6], light_sum = params[7];
+  const double ambient = params[8];
+  const double r2 = a_r * a_r;
+  for (int64_t i = 0; i < nfaces; ++i) {
+    if (!ok[i]) continue;
+    const float* p = tri_pix + i * 6;
+    const float ax = p[0], ay = p[1], bx = p[2], by = p[3];
+    const float cx = p[4], cy = p[5];
+    const double den =
+        (double)(by - cy) * (ax - cx) + (double)(cx - bx) * (ay - cy);
+    if (std::fabs(den) < 1e-12) continue;
+    int x0 = (int)std::floor(std::min(ax, std::min(bx, cx)));
+    int x1 = (int)std::ceil(std::max(ax, std::max(bx, cx))) + 1;
+    int y0 = (int)std::floor(std::min(ay, std::min(by, cy)));
+    int y1 = (int)std::ceil(std::max(ay, std::max(by, cy))) + 1;
+    x0 = std::max(x0, 0); y0 = std::max(y0, 0);
+    x1 = std::min(x1, size); y1 = std::min(y1, size);
+    if (x0 >= x1 || y0 >= y1) continue;
+    const double iza = 1.0 / tri_z[i * 3], izb = 1.0 / tri_z[i * 3 + 1],
+                 izc = 1.0 / tri_z[i * 3 + 2];
+    const float* nv = tri_nrm + i * 9;
+    const float* pv = tri_pos + i * 9;
+    for (int y = y0; y < y1; ++y) {
+      const double gy = y + 0.5;
+      float* imrow = img + (int64_t)y * size;
+      float* zrow = zbuf + (int64_t)y * size;
+      for (int x = x0; x < x1; ++x) {
+        const double gx = x + 0.5;
+        const double w0 =
+            ((by - cy) * (gx - cx) + (cx - bx) * (gy - cy)) / den;
+        const double w1 =
+            ((cy - ay) * (gx - cx) + (ax - cx) * (gy - cy)) / den;
+        const double w2 = 1.0 - w0 - w1;
+        if (w0 < 0.0 || w1 < 0.0 || w2 < 0.0) continue;
+        // perspective-correct weights: wi/zi, renormalized
+        const double pw0 = w0 * iza, pw1 = w1 * izb, pw2 = w2 * izc;
+        const double inv = pw0 + pw1 + pw2;
+        const float z = (float)(1.0 / inv);
+        if (z >= zrow[x]) continue;
+        const double b0 = pw0 / inv, b1 = pw1 / inv, b2 = pw2 / inv;
+        double nx = b0 * nv[0] + b1 * nv[3] + b2 * nv[6];
+        double ny = b0 * nv[1] + b1 * nv[4] + b2 * nv[7];
+        double nz = b0 * nv[2] + b1 * nv[5] + b2 * nv[8];
+        double nn = std::sqrt(nx * nx + ny * ny + nz * nz);
+        nn = nn > 1e-12 ? nn : 1e-12;
+        nx /= nn; ny /= nn; nz /= nn;
+        double vx = camx - (b0 * pv[0] + b1 * pv[3] + b2 * pv[6]);
+        double vy = camy - (b0 * pv[1] + b1 * pv[4] + b2 * pv[7]);
+        double vz = camz - (b0 * pv[2] + b1 * pv[5] + b2 * pv[8]);
+        double vn = std::sqrt(vx * vx + vy * vy + vz * vz);
+        vn = vn > 1e-12 ? vn : 1e-12;
+        vx /= vn; vy /= vn; vz /= vn;
+        // halfway vector with l = +z
+        double hx = vx, hy = vy, hz = vz + 1.0;
+        double hn = std::sqrt(hx * hx + hy * hy + hz * hz);
+        hn = hn > 1e-12 ? hn : 1e-12;
+        hx /= hn; hy /= hn; hz /= hn;
+        const double ndl = std::min(std::max(nz, 1e-3), 1.0);
+        const double ndv = std::min(
+            std::max(std::fabs(nx * vx + ny * vy + nz * vz), 1e-3), 1.0);
+        const double ndh =
+            std::min(std::max(nx * hx + ny * hy + nz * hz, 0.0), 1.0);
+        const double vdh =
+            std::min(std::max(vx * hx + vy * hy + vz * hz, 0.0), 1.0);
+        const double om = 1.0 - vdh;
+        const double om2 = om * om;
+        const double fres = f0 + (refl90 - f0) * om2 * om2 * om;
+        const double att_l =
+            2.0 * ndl / (ndl + std::sqrt(r2 + (1.0 - r2) * ndl * ndl));
+        const double att_v =
+            2.0 * ndv / (ndv + std::sqrt(r2 + (1.0 - r2) * ndv * ndv));
+        const double fd = (ndh * r2 - ndh) * ndh + 1.0;
+        const double dist = r2 / (M_PI * fd * fd);
+        const double diffuse = (1.0 - fres) * c_diff / M_PI;
+        const double spec = fres * att_l * att_v * dist / (4.0 * ndl * ndv);
+        double shade = ambient + ndl * light_sum * (diffuse + spec);
+        shade = std::min(std::max(shade, 0.0), 1.0);
+        zrow[x] = z;
+        imrow[x] = (float)shade;
+      }
+    }
+  }
+}
+
 // ---- prefetcher ----
 
 void* fdm_prefetcher_create(const char** paths, int n, int capacity,

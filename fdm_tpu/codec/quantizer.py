@@ -138,6 +138,10 @@ def sample_logits(
     if key is None:
         raise ValueError("sampling requires a PRNG key")
     if top_p is not None and top_p < 1.0:
+        if top_p <= 0.0:
+            # top_p -> 0 keeps only the argmax; <= 0 would empty the
+            # nucleus and renormalize 0/0 into NaN probabilities
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         # nucleus filter: zero out everything past cumulative top_p mass
         sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
         cum = jnp.cumsum(sorted_probs, axis=-1)

@@ -146,6 +146,16 @@ def ddpm_sample(
     """
     total = schedule.num_timesteps
     num_steps = total if num_steps is None else num_steps
+    if not 0 < num_steps <= total:
+        # an oversized count would silently clamp the schedule gathers and
+        # zero the denoiser's timestep one-hot (XLA out-of-range gather
+        # semantics) — the classic mismatched diffusion.timesteps /
+        # sample_steps override
+        raise ValueError(
+            f"num_steps={num_steps} must be in [1, {total}] "
+            "(schedule.num_timesteps); set diffusion.sample_steps to match "
+            "a shortened diffusion.timesteps"
+        )
     key, init_key = jax.random.split(key)
     if x_init is None:
         x_init = jax.random.normal(init_key, shape, dtype=dtype)
@@ -208,6 +218,11 @@ def ddim_sample(
     """
     if tail not in ("reference", "x0"):
         raise ValueError(f"tail must be 'reference' or 'x0', got {tail!r}")
+    if not 0 < steps <= schedule.num_timesteps:
+        raise ValueError(
+            f"steps={steps} must be in [1, {schedule.num_timesteps}] "
+            "(schedule.num_timesteps)"
+        )
     pairs = ddim_time_pairs(schedule.num_timesteps, steps)
     if tail == "reference":
         pairs = pairs[:-1]  # reference discards the last pair's update
@@ -240,12 +255,20 @@ def ddim_sample(
             c = jnp.sqrt(1 - alpha_bar_next)
             x_next = x_recon * jnp.sqrt(alpha_bar_next) + c * pred_noise
         else:
+            # standard DDIM sigma (Song et al. 2020 eq. 16). The reference
+            # carries this formula with the (1-abar) ratio INVERTED
+            # (diffusion_BIWI_encoder_decoder.py:702) — dead code there
+            # (eta is hardcoded 0), but live here: the inverted ratio makes
+            # sigma^2 > 1-abar_next on the first pair and the sqrt below
+            # NaNs, so we use the correct form. For eta <= 1 it guarantees
+            # sigma^2 <= 1-abar_next; the maximum() absorbs fp rounding at
+            # the eta=1 boundary.
             sigma = (
                 eta
-                * jnp.sqrt((1 - alpha_bar) / (1 - alpha_bar_next))
+                * jnp.sqrt((1 - alpha_bar_next) / (1 - alpha_bar))
                 * jnp.sqrt(1 - alpha_bar / alpha_bar_next)
             )
-            c = jnp.sqrt(1 - alpha_bar_next - sigma**2)
+            c = jnp.sqrt(jnp.maximum(1 - alpha_bar_next - sigma**2, 0.0))
             noise = jax.random.normal(step_key, shape, dtype=dtype)
             x_next = (
                 x_recon * jnp.sqrt(alpha_bar_next)

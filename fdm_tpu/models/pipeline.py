@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from fdm_tpu.configs import PipelineConfig
 from fdm_tpu.codec import VQAutoEncoder
-from fdm_tpu.codec import quantizer as quant_lib
 from fdm_tpu.diffusion import (
     DiffusionSchedule,
     ddim_sample,

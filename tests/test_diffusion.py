@@ -155,6 +155,52 @@ def test_ddim_sample_perfect_denoiser(tail):
         np.testing.assert_allclose(out, np.asarray(target) * 0 + scale * (-1.5), atol=0.2)
 
 
+def test_ddim_eta_positive_is_finite_and_correct_variance():
+    """eta>0 DDIM must stay finite (the reference's dead eta-branch carries
+    an inverted (1-abar) ratio that NaNs on the first pair — we implement
+    the standard Song et al. sigma instead) and must converge to x0 with
+    only per-step noise of the correct scale."""
+    sched = make_schedule(1000)
+    target = jnp.full((2, 4, 2), -1.5)
+    denoise = lambda x, t: target
+    for eta in (0.5, 1.0):
+        out = ddim_sample(
+            sched, denoise, target.shape, jax.random.PRNGKey(2),
+            steps=50, eta=eta, tail="x0",
+        )
+        assert bool(jnp.isfinite(out).all()), f"eta={eta} produced NaN"
+        # tail='x0' returns the final clean prediction regardless of noise
+        np.testing.assert_allclose(out, target, rtol=1e-5)
+        # the stochastic trajectory must genuinely differ from eta=0
+        ref = ddim_sample(
+            sched, denoise, target.shape, jax.random.PRNGKey(2),
+            steps=50, eta=0.0, tail="reference",
+        )
+        sto = ddim_sample(
+            sched, denoise, target.shape, jax.random.PRNGKey(2),
+            steps=50, eta=eta, tail="reference",
+        )
+        assert bool(jnp.isfinite(sto).all())
+        assert float(jnp.abs(sto - ref).max()) > 1e-3
+
+
+def test_sampler_step_counts_validated():
+    """Oversized step counts used to clamp schedule gathers silently (XLA
+    out-of-range gather) and zero the FDM timestep one-hot; both samplers
+    now reject them at trace time."""
+    sched = make_schedule(20)
+    denoise = lambda x, t: x * 0.9
+    with pytest.raises(ValueError, match="num_steps"):
+        ddpm_sample(sched, denoise, (1, 4, 2), jax.random.PRNGKey(0),
+                    num_steps=50)
+    with pytest.raises(ValueError, match="steps"):
+        ddim_sample(sched, denoise, (1, 4, 2), jax.random.PRNGKey(0),
+                    steps=50)
+    with pytest.raises(ValueError, match="num_steps"):
+        ddpm_sample(sched, denoise, (1, 4, 2), jax.random.PRNGKey(0),
+                    num_steps=0)
+
+
 def test_samplers_are_jittable():
     sched = make_schedule(20)
     denoise = lambda x, t: x * 0.9

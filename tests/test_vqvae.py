@@ -220,6 +220,12 @@ def test_sample_logits_nucleus():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sample_logits(logits, sample=True)
+    # top_p <= 0 would empty the nucleus and NaN the renormalization
+    with _pytest.raises(ValueError, match="top_p"):
+        sample_logits(logits, key=rng_l, sample=True, top_p=0.0)
+    # a tiny positive top_p degenerates to argmax sampling, finitely
+    idx_tiny, _ = sample_logits(logits, key=rng_l, sample=True, top_p=1e-9)
+    np.testing.assert_array_equal(np.asarray(idx_tiny), np.asarray(idx_top1))
 
 
 def test_frame_mask_blocks_padding_leak_quant_factor():

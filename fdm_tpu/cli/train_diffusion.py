@@ -151,7 +151,7 @@ def main(argv=None) -> int:
         if mesh is not None and not args.fsdp:
             state = replicate_state(state, mesh)
         step = make_stage2_e2e_step(
-            ld, tx, vq_params, mesh=mesh, ema_decay=args.ema_decay
+            ld, tx, vq_params, ema_decay=args.ema_decay
         )
     else:
         tx = base_tx
@@ -161,7 +161,7 @@ def main(argv=None) -> int:
         if mesh is not None and not args.fsdp:
             state = replicate_state(state, mesh)
         step = make_stage2_step(
-            ld, tx, vq_params, mesh=mesh, ema_decay=args.ema_decay
+            ld, tx, vq_params, ema_decay=args.ema_decay
         )
 
     out_dir = ensure_dir(args.output_dir)

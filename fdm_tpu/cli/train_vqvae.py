@@ -106,7 +106,7 @@ def main(argv=None) -> int:
     state = create_train_state(vq_params, tx, ema_decay=args.ema_decay)
     if mesh is not None and not args.fsdp:
         state = replicate_state(state, mesh)
-    step = make_stage1_step(ld, tx, mesh=mesh, ema_decay=args.ema_decay)
+    step = make_stage1_step(ld, tx, ema_decay=args.ema_decay)
 
     out_dir = ensure_dir(args.output_dir)
     ckpt = Checkpointer(out_dir + "/orbax")

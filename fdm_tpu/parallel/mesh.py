@@ -58,11 +58,42 @@ def seq_sharding(mesh: Mesh, axis: str = "seq") -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put every array in a batch pytree with its leading axis sharded
-    across the mesh. Leading dim must divide by the mesh axis size."""
+    across the mesh. Leading dim must divide by the mesh axis size.
+
+    Single-process: a plain device_put with the named sharding. Multi-host:
+    each process passes only its LOCAL rows (see local_batch_slice) and the
+    global array is assembled with make_array_from_process_local_data —
+    device_put with a global sharding cannot stitch per-host shards and
+    would feed wrong rows or crash."""
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+_CLUSTER_ENV_MARKERS = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+def _cluster_env_present() -> bool:
+    """True when the environment advertises a MULTI-host cluster (the
+    markers jax's auto-detection reads). TPU_WORKER_HOSTNAMES counts only
+    when it names more than one host — single-chip images set it to
+    'localhost'."""
+    import os
+
+    if any(os.environ.get(k) for k in _CLUSTER_ENV_MARKERS):
+        return True
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h.strip()]) > 1
 
 
 def initialize_distributed(
@@ -91,6 +122,15 @@ def initialize_distributed(
             # an explicitly requested cluster that fails to form is an
             # error, not a single-process fallback
             raise
+        if not already and _cluster_env_present():
+            # the environment advertises a multi-host cluster but init
+            # failed: falling back silently would run N independent
+            # single-host trainings writing conflicting checkpoints
+            raise RuntimeError(
+                "jax.distributed.initialize failed although cluster "
+                "environment variables are set — refusing the silent "
+                f"single-process fallback ({e})"
+            ) from e
         # auto-detect path: single-process / already initialized / no
         # cluster env: fine
     # only check the cluster size when the caller actually pinned it —
@@ -107,6 +147,14 @@ def initialize_distributed(
 def local_batch_slice(global_batch: int) -> slice:
     """The rows of a globally-indexed batch this host should feed (per-host
     data loading for multi-host DP)."""
-    per = global_batch // jax.process_count()
+    n_proc = jax.process_count()
+    if global_batch % n_proc:
+        # silent floor division would permanently drop the tail rows from
+        # every epoch on every host
+        raise ValueError(
+            f"global_batch={global_batch} must divide by "
+            f"process_count={n_proc}"
+        )
+    per = global_batch // n_proc
     start = per * jax.process_index()
     return slice(start, start + per)

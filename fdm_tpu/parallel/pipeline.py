@@ -88,7 +88,16 @@ def make_pp_denoise(ld, mesh: Mesh, num_microbatches: int,
         staged = jax.tree_util.tree_map(
             lambda x: x.reshape((S, per_stage) + x.shape[1:]), stacked
         )
-        return fdm_params, staged
+        # strip the layer subtrees from the replicated tree: denoise_embed /
+        # denoise_head never read them, and keeping them would hold the full
+        # decoder stack in HBM on EVERY device alongside its stage shard —
+        # negating the per-device memory saving pipeline staging exists for
+        trimmed = dict(fdm_params)
+        trimmed["params"] = {
+            k: v for k, v in fdm_params["params"].items()
+            if not k.startswith("layer_")
+        }
+        return trimmed, staged
 
     def _stage(stage_params, x, mem, bias):
         def body(h, lp):

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from fdm_tpu.models.pipeline import LatentDiffusion
-from fdm_tpu.parallel import batch_sharding, replicated_sharding, shard_batch
+from fdm_tpu.parallel import replicated_sharding, shard_batch
 
 
 class TrainState(NamedTuple):
@@ -49,12 +49,19 @@ def create_train_state(params, tx: optax.GradientTransformation,
 
 def _check_ema(state: "TrainState", ema_decay: float) -> None:
     """ema_decay is configured in two places (create_train_state and the
-    step maker); a state that carries ema_params with a step built at
-    decay 0 would silently track a plain copy — fail at trace time."""
+    step maker); either mismatch is silent — a state carrying ema_params
+    with a step built at decay 0 tracks a stale copy, and a step built
+    with decay > 0 on a state without ema_params skips the EMA update
+    entirely — so both directions fail at trace time."""
     if state.ema_params is not None and ema_decay <= 0.0:
         raise ValueError(
             "state carries ema_params but the train step was built with "
             "ema_decay=0 — pass the same ema_decay to make_*_step"
+        )
+    if state.ema_params is None and ema_decay > 0.0:
+        raise ValueError(
+            "train step built with ema_decay > 0 but the state has no "
+            "ema_params — pass the same ema_decay to create_train_state"
         )
 
 
@@ -77,7 +84,6 @@ def default_optimizer(learning_rate: float = 1e-4,
 def make_stage1_step(
     ld: LatentDiffusion,
     tx: optax.GradientTransformation,
-    mesh=None,
     donate: bool = True,
     ema_decay: float = 0.0,
 ):
@@ -108,14 +114,13 @@ def make_stage1_step(
         )
         return TrainState(state.step + 1, params, opt_state, ema), metrics
 
-    return _compile_step(step, mesh, donate)
+    return _compile_step(step, donate)
 
 
 def make_stage2_step(
     ld: LatentDiffusion,
     tx: optax.GradientTransformation,
     vq_params,
-    mesh=None,
     donate: bool = True,
     ema_decay: float = 0.0,
 ):
@@ -155,7 +160,7 @@ def make_stage2_step(
         )
         return TrainState(state.step + 1, params, opt_state, ema), metrics
 
-    compiled = _compile_step(step, mesh, donate)
+    compiled = _compile_step(step, donate)
 
     def bound_step(state, batch, key):
         return compiled(state, batch, key, vq_params)
@@ -169,7 +174,6 @@ def make_stage2_e2e_step(
     ld: LatentDiffusion,
     tx: optax.GradientTransformation,
     vq_params,
-    mesh=None,
     donate: bool = True,
     ema_decay: float = 0.0,
 ):
@@ -205,7 +209,7 @@ def make_stage2_e2e_step(
         )
         return TrainState(state.step + 1, params, opt_state, ema), metrics
 
-    compiled = _compile_step(step, mesh, donate)
+    compiled = _compile_step(step, donate)
 
     def bound_step(state, batch, key):
         return compiled(state, batch, key, vq_params)
@@ -258,11 +262,13 @@ def accumulating_optimizer(
     return optax.MultiSteps(tx, every_k_schedule=every)
 
 
-def _compile_step(step: Callable, mesh, donate: bool):
+def _compile_step(step: Callable, donate: bool):
     """Sharding is carried by the data: `replicate_state` pins the state
     replicated over the mesh and `shard_batch` shards batches on the leading
     axis; jit then partitions the step (gradient psum over 'data') from the
-    input shardings — no per-pytree in_shardings spec needed."""
+    input shardings — no per-pytree in_shardings spec or mesh argument
+    needed (a mesh= kwarg here would be dead weight that LOOKS like it
+    constrains placement but doesn't)."""
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

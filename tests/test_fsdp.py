@@ -58,7 +58,7 @@ def test_fsdp_train_step_matches_single_device():
     p_fsdp = place_fsdp_params(fdm_params, mesh)
     fsdp_state = create_train_state(p_fsdp, tx)  # moments inherit shardings
     fsdp_batch = shard_batch(batch, mesh)
-    fsdp_step = make_stage2_step(ld, tx, vq_params, mesh=mesh, donate=False)
+    fsdp_step = make_stage2_step(ld, tx, vq_params, donate=False)
     fsdp_state, _ = fsdp_step(fsdp_state, fsdp_batch, key)
     fsdp_state, fsdp_metrics = fsdp_step(fsdp_state, fsdp_batch, key)
 

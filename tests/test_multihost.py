@@ -52,6 +52,22 @@ arr = jax.make_array_from_process_local_data(
 total = jax.jit(lambda x: jnp.sum(x))(arr)
 print(f"RESULT pid={pid} sum={float(total)}", flush=True)
 assert float(total) == float(rows.sum()), float(total)
+
+# the Trainer's own batch-placement helper must assemble the same global
+# array from per-host rows (multi-process shard_batch goes through
+# make_array_from_process_local_data; a plain device_put cannot stitch
+# per-host shards)
+batch = shard_batch({"x": local}, mesh)
+assert batch["x"].shape == (8, 4), batch["x"].shape
+total2 = jax.jit(lambda b: jnp.sum(b["x"]))(batch)
+print(f"RESULT pid={pid} shard_batch_sum={float(total2)}", flush=True)
+assert float(total2) == float(rows.sum()), float(total2)
+
+# non-divisible global batches must fail loudly, not drop tail rows
+try:
+    local_batch_slice(9)
+except ValueError:
+    print(f"RESULT pid={pid} indivisible=raises", flush=True)
 """
 
 
@@ -90,3 +106,6 @@ def test_two_process_distributed_dp():
     assert "RESULT pid=0 slice=0:4" in outs[0]
     assert "RESULT pid=1 slice=4:8" in outs[1]
     assert "sum=112.0" in outs[0] and "sum=112.0" in outs[1]
+    assert "shard_batch_sum=112.0" in outs[0]
+    assert "shard_batch_sum=112.0" in outs[1]
+    assert "indivisible=raises" in outs[0]

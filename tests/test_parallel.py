@@ -92,8 +92,29 @@ def test_initialize_distributed_single_process_noop():
     from fdm_tpu.parallel import initialize_distributed, local_batch_slice
 
     assert initialize_distributed() == 0
-    # single process feeds the whole global batch
+    # single process feeds the whole global batch (any size divides by 1;
+    # the non-divisible ValueError is exercised in the two-process cluster
+    # test, tests/test_multihost.py)
     assert local_batch_slice(8) == slice(0, 8)
+
+
+def test_cluster_env_marker_detection(monkeypatch):
+    """A failed auto-detect init must fall back silently ONLY when no
+    multi-host cluster is advertised; single-chip images set
+    TPU_WORKER_HOSTNAMES=localhost, which is not a cluster."""
+    from fdm_tpu.parallel.mesh import _cluster_env_present
+
+    for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(k, raising=False)
+    assert not _cluster_env_present()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert not _cluster_env_present()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert _cluster_env_present()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    assert _cluster_env_present()
 
 
 def test_choose_mesh_follows_batch_divisibility(capsys):

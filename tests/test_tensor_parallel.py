@@ -93,7 +93,7 @@ def test_dp_tp_train_step_matches_single_device():
     p_tp = place_tp_params(fdm_params, mesh)
     tp_state = create_train_state(p_tp, tx)  # opt state inherits shardings
     tp_batch = shard_batch(batch, mesh)
-    tp_step = make_stage2_step(ld, tx, vq_params, mesh=mesh, donate=False)
+    tp_step = make_stage2_step(ld, tx, vq_params, donate=False)
     tp_state, _ = tp_step(tp_state, tp_batch, key)
     tp_state, tp_metrics = tp_step(tp_state, tp_batch, key)
 

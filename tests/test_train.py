@@ -87,7 +87,7 @@ def test_data_parallel_matches_single_device():
     mesh = make_mesh()
     assert mesh.devices.size == 8
     state8 = replicate_state(create_train_state(vq_params, tx), mesh)
-    step8 = make_stage1_step(ld, tx, mesh=mesh, donate=False)
+    step8 = make_stage1_step(ld, tx, donate=False)
     sharded = shard_batch(batch, mesh)
     state8, m8 = step8(state8, sharded)
 
@@ -159,6 +159,30 @@ def test_ema_and_grad_accumulation():
     assert not np.allclose(np.asarray(e2), np.asarray(p2))
     expected = 0.9 * (0.9 * p0 + 0.1 * p0) + 0.1 * p2
     np.testing.assert_allclose(np.asarray(e2), np.asarray(expected), rtol=1e-5)
+
+
+def test_ema_config_mismatch_raises_both_directions():
+    """ema_decay is configured in two places; BOTH silent mismatches must
+    fail at trace time — a decay-0 step on an EMA-carrying state (stale
+    copy) and a decay>0 step on a state without ema_params (EMA silently
+    never updated)."""
+    import optax
+    import pytest
+
+    cfg = tiny_pipeline()
+    ld, vq_params, *_ = init_pipeline(cfg)
+    tx = optax.sgd(0.1)
+    batch = _stage1_batch(cfg, B=2)
+
+    state_ema = create_train_state(vq_params, tx, ema_decay=0.9)
+    step_plain = make_stage1_step(ld, tx, donate=False, ema_decay=0.0)
+    with pytest.raises(ValueError, match="ema_decay=0"):
+        step_plain(state_ema, batch)
+
+    state_plain = create_train_state(vq_params, tx, ema_decay=0.0)
+    step_ema = make_stage1_step(ld, tx, donate=False, ema_decay=0.9)
+    with pytest.raises(ValueError, match="no\\s+ema_params"):
+        step_ema(state_plain, batch)
 
 
 def test_stage2_e2e_trains_audio_encoder_with_frozen_conv():

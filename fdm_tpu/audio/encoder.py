@@ -44,6 +44,12 @@ class AudioEncoderConfig:
     num_conv_pos_embedding_groups: int = 16
     feat_proj_dropout: float = 0.0
     hidden_dropout: float = 0.1
+    # the full HF training-regularization set (active in the checkpoints
+    # the reference fine-tunes): dropout on the attention probabilities,
+    # on the FFN activation (after GELU), and whole-layer LayerDrop
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    layerdrop: float = 0.1
     activation: str = "gelu"
     # SpecAugment (training-time span masking, reference models/wav2vec.py:
     # 109-127 / models/hubert.py:112-130); probs per the HF checkpoints the
@@ -105,8 +111,10 @@ def encoder_config_for(fdm_cfg, allow_tiny: bool = False) -> AudioEncoderConfig:
         hidden_size=dim, num_layers=2,
         num_heads=heads,
         intermediate_size=2 * fdm_cfg.audio_dim,
+        # strides multiply to a 320-sample hop (50 Hz at 16 kHz) like the
+        # full stack, so tiny-mode audio-to-frame alignment matches
         conv_dim=(fdm_cfg.audio_dim,) * 3,
-        conv_kernel=(10, 8, 4), conv_stride=(5, 8, 4),
+        conv_kernel=(10, 8, 8), conv_stride=(5, 8, 8),
         num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=1,
     )
 
@@ -182,11 +190,15 @@ class EncoderLayer(nn.Module):
         self.fc1 = nn.Dense(cfg.intermediate_size, dtype=self.dtype)
         self.fc2 = nn.Dense(D, dtype=self.dtype)
         self.final_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype)
-        # HF applies hidden_dropout to the attention and FFN outputs before
-        # each residual add (training only)
+        # HF training regularization, all p=0.1 in the reference's
+        # checkpoints: hidden_dropout on the attention/FFN outputs before
+        # each residual add, attention_dropout on the softmax probabilities,
+        # activation_dropout after the FFN GELU
         self.drop = nn.Dropout(cfg.hidden_dropout)
+        self.attn_drop = nn.Dropout(cfg.attention_dropout)
+        self.act_drop = nn.Dropout(cfg.activation_dropout)
 
-    def _attention(self, x):
+    def _attention(self, x, attn_rng=None):
         cfg = self.config
         B, N, D = x.shape
         H = cfg.num_heads
@@ -198,25 +210,31 @@ class EncoderLayer(nn.Module):
         attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
             self.dtype
         )
+        attn = self.attn_drop(
+            attn, deterministic=attn_rng is None, rng=attn_rng
+        )
         o = jnp.einsum("bhij,bhjd->bhid", attn, v)
         return self.out(o.transpose(0, 2, 1, 3).reshape(B, N, D))
 
-    def _ffn(self, x):
-        return self.fc2(jax.nn.gelu(self.fc1(x), approximate=False))
+    def _ffn(self, x, act_rng=None):
+        h = jax.nn.gelu(self.fc1(x), approximate=False)
+        h = self.act_drop(h, deterministic=act_rng is None, rng=act_rng)
+        return self.fc2(h)
 
     def __call__(self, x, deterministic: bool = True, dropout_key=None):
         if not deterministic and dropout_key is not None:
-            k1, k2 = jax.random.split(dropout_key)
+            k1, k2, ka, kf = jax.random.split(dropout_key, 4)
             d1 = lambda h: self.drop(h, deterministic=False, rng=k1)
             d2 = lambda h: self.drop(h, deterministic=False, rng=k2)
         else:
+            ka = kf = None
             d1 = d2 = lambda h: self.drop(h, deterministic=True)
         if self.config.do_stable_layer_norm:
-            x = x + d1(self._attention(self.attn_ln(x)))
-            x = x + d2(self._ffn(self.final_ln(x)))
+            x = x + d1(self._attention(self.attn_ln(x), ka))
+            x = x + d2(self._ffn(self.final_ln(x), kf))
         else:
-            x = self.attn_ln(x + d1(self._attention(x)))
-            x = self.final_ln(x + d2(self._ffn(x)))
+            x = self.attn_ln(x + d1(self._attention(x, ka)))
+            x = self.final_ln(x + d2(self._ffn(x, kf)))
         return x
 
 
@@ -280,7 +298,8 @@ class AudioEncoder(nn.Module):
         models/hubert.py:112-130). Both are drawn by
         fdm_tpu.audio.specaugment.sample_masks during training.
         `dropout_key` additionally enables the HF training-time dropouts
-        (feat_proj_dropout, hidden_dropout)."""
+        (feat_proj, hidden, attention-probs, FFN-activation) and
+        LayerDrop."""
         training = dropout_key is not None
         if training:
             keys = jax.random.split(
@@ -301,16 +320,34 @@ class AudioEncoder(nn.Module):
         if feature_mask is not None:
             x = jnp.where(feature_mask[:, None, :], 0.0, x)
         x = x + self.pos_conv(x)
+        # HF order differs per variant: post-LN (wav2vec2) normalizes FIRST
+        # and applies dropout to the normalized activations; stable-LN
+        # (hubert) applies dropout right after the positional add and
+        # normalizes at the very end
+        if not self.config.do_stable_layer_norm:
+            x = self.enc_ln(x)
         x = self.hidden_drop(
             x, deterministic=not training,
             rng=keys[1] if training else None,
         )
-        if not self.config.do_stable_layer_norm:
-            x = self.enc_ln(x)
+        cfg = self.config
+        layerdrop = training and cfg.layerdrop > 0
+        if layerdrop:
+            ld_keys = jax.random.split(
+                jax.random.fold_in(dropout_key, 0x1D), len(self.encoder_layers)
+            )
         for i, layer in enumerate(self.encoder_layers):
-            x = layer(
+            y = layer(
                 x, not training, keys[2 + i] if training else None
             )
+            if layerdrop:
+                # HF LayerDrop: the whole layer is skipped with prob
+                # cfg.layerdrop (one draw per layer per step, shared by the
+                # batch); identity instead of execution
+                keep = jax.random.bernoulli(ld_keys[i], 1.0 - cfg.layerdrop)
+                x = jnp.where(keep, y, x)
+            else:
+                x = y
         if self.config.do_stable_layer_norm:
             x = self.enc_ln(x)
         return x

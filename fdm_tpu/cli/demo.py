@@ -30,7 +30,13 @@ from fdm_tpu.cli.common import (
     make_pipeline,
 )
 
-EMOTIONS = ("angry", "contempt", "disgusted", "fear", "happy", "neutral", "sad")
+# the TRAINING label set and order (data/mead.py EMOTIONS; reference
+# data_loader_mead.py:44) plus 'neutral', which encodes as the all-zeros
+# vector — a demo-local ordering here would silently condition on the
+# wrong class
+from fdm_tpu.data.mead import EMOTIONS as _MEAD_EMOTIONS, emotion_one_hot
+
+EMOTIONS = tuple(_MEAD_EMOTIONS) + ("neutral",)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -94,16 +100,23 @@ def main(argv=None) -> int:
 
     emotion = None
     if cfg.fdm.emotion_classes:
-        emotion = jnp.eye(cfg.fdm.emotion_classes)[
-            None, EMOTIONS.index(args.emotion) % cfg.fdm.emotion_classes
-        ]
+        if cfg.fdm.emotion_classes == len(_MEAD_EMOTIONS):
+            # training-order one-hot; 'neutral' -> all-zeros (reference
+            # data_loader_mead.py:39-43)
+            emotion = jnp.asarray(emotion_one_hot(args.emotion))[None]
+        else:
+            # tiny/smoke configs shrink the class count; any stable index
+            idx = EMOTIONS.index(args.emotion) % cfg.fdm.emotion_classes
+            emotion = jnp.eye(cfg.fdm.emotion_classes)[None, idx]
     style = jnp.eye(cfg.fdm.style_classes)[None, args.style % cfg.fdm.style_classes]
 
     frontend = AudioFrontend(
         cfg, args.audio_params, seed=args.seed,
         allow_tiny=args.tiny or args.synthetic,
     )
-    samples = int(T_pad * sr / fps)
+    # +320: one extra conv hop, same as collate_batch — exactly T/fps
+    # seconds yields 2T-1 fifty-Hz conv frames, one short at fps=25
+    samples = int(T_pad * sr / fps) + 320
     audio = np.zeros((1, samples), np.float32)
     audio[0, : min(len(wav), samples)] = wav[:samples]
     audio_hidden = frontend(audio, T_pad)

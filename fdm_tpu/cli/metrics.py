@@ -146,7 +146,7 @@ def main(argv=None) -> int:
             return np.asarray(decoder(jnp.asarray(params)[None]))[0]
 
     results = {}
-    pred_cache = {}
+    div_by_stem = {}
     if args.gt_path:
         acc = MetricAccumulator(regions, fdd_region=fdd_region)
         matched = 0
@@ -167,29 +167,36 @@ def main(argv=None) -> int:
                     f"note: no template for {stem!r}; FDD skipped for it "
                     f"(pass --templates for FDD)"
                 )
+            group_preds = []
             for fname in fnames:
                 pred = np.load(os.path.join(args.pred_path, fname))
                 pred = pred.astype(np.float32).reshape(pred.shape[0], -1, 3)
                 acc.update(gt, pred, template)
                 matched += 1
-                # cache only what the diversity pass will reuse (groups of
-                # >=2 conditioned predictions); caching everything held the
-                # whole eval set in host memory on large runs
+                # diversity is computed per group right here, so host
+                # memory stays bounded to ONE group's predictions (an
+                # --all_conditions eval would otherwise hold the entire
+                # prediction set until exit)
                 if len(fnames) >= 2:
-                    pred_cache[fname] = pred
+                    group_preds.append(pred)
+            if len(group_preds) >= 2:
+                div_by_stem[stem] = diversity(group_preds)
         if matched == 0:
             raise SystemExit("no prediction/ground-truth name matches")
         results.update(acc.result())
 
     div_terms = []
     for stem, fnames in sorted(groups.items()):
-        if len(fnames) >= 2:
-            preds = [
-                pred_cache[f] if f in pred_cache else
-                np.load(os.path.join(args.pred_path, f)).astype(np.float32)
-                for f in fnames
-            ]
-            div_terms.append(diversity(preds))
+        if len(fnames) < 2:
+            continue
+        if stem in div_by_stem:  # computed during the GT pass
+            div_terms.append(div_by_stem[stem])
+            continue
+        preds = [
+            np.load(os.path.join(args.pred_path, f)).astype(np.float32)
+            for f in fnames
+        ]
+        div_terms.append(diversity(preds))
     if div_terms:
         results["diversity"] = float(np.mean(div_terms))
 

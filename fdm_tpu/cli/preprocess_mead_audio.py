@@ -57,7 +57,16 @@ def build_parser() -> argparse.ArgumentParser:
 def find_audio(src: str) -> List[str]:
     hits = []
     for root, _dirs, files in os.walk(src):
-        for f in sorted(files):
+        # wav sorts before any compressed sibling with the same stem: in an
+        # in-place run the wav must claim the output slot FIRST so its
+        # sample rate gets checked/resampled — if the m4a claimed it, the
+        # pre-existing (possibly 44.1 kHz) wav would be skipped by the
+        # dedup before its rate check ever ran
+        for f in sorted(
+            files,
+            key=lambda f: (os.path.splitext(f)[0],
+                           not f.lower().endswith(".wav"), f),
+        ):
             if f.lower().endswith(".converting.wav"):
                 continue  # temp file from a hard-killed earlier run
             if f.lower().endswith(COMPRESSED + (".wav",)):
@@ -66,23 +75,15 @@ def find_audio(src: str) -> List[str]:
 
 
 def resample_wav(path: str, dst: str, sr: int) -> None:
-    """In-process wav -> 16 kHz mono wav (scipy polyphase, no binary)."""
+    """In-process wav -> 16 kHz mono wav. Decode/mono/resample is
+    data.common.read_wav (one copy of the PCM-normalization logic);
+    normalization is off because the preprocessor writes files the loaders
+    will normalize at read time."""
     from scipy.io import wavfile
-    from scipy.signal import resample_poly
 
-    in_sr, data = wavfile.read(path)
-    data = np.asarray(data)
-    if data.dtype.kind == "i":
-        data = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
-    elif data.dtype.kind == "u":
-        data = (data.astype(np.float32) - 128.0) / 128.0
-    else:
-        data = data.astype(np.float32)
-    if data.ndim == 2:
-        data = data.mean(axis=1)
-    if in_sr != sr:
-        g = np.gcd(in_sr, sr)
-        data = resample_poly(data, sr // g, in_sr // g).astype(np.float32)
+    from fdm_tpu.data.common import read_wav
+
+    data = read_wav(path, target_sr=sr, normalize=False)
     wavfile.write(dst, sr, np.clip(data, -1.0, 1.0))
 
 

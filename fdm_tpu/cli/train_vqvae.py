@@ -107,6 +107,14 @@ def main(argv=None) -> int:
     if mesh is not None and not args.fsdp:
         state = replicate_state(state, mesh)
     step = make_stage1_step(ld, tx, ema_decay=args.ema_decay)
+    # built ONCE: re-jitting per eval epoch would discard the trace cache
+    # and re-trace (or fully recompile on a cold disk cache) every bucket
+    # shape at every evaluation
+    eval_loss_fn = jax.jit(
+        lambda p, motion, template, emo, mask: ld.stage1_train_loss(
+            p, motion, template, emo, mask
+        )[1]["recon_loss"]
+    )
 
     out_dir = ensure_dir(args.output_dir)
     ckpt = Checkpointer(out_dir + "/orbax")
@@ -131,7 +139,10 @@ def main(argv=None) -> int:
               f"recon={means.get('recon_loss', float('nan')):.5f} "
               f"steps/s={means['steps_per_sec']:.2f}")
         if epoch % cfg.train.eval_every == 0 and splits.valid:
-            val = _evaluate(ld, trainer.state.params, splits.valid, cfg, args, flame)
+            val = _evaluate(
+                eval_loss_fn, trainer.state.params, splits.valid, cfg, args,
+                flame,
+            )
             print(f"epoch {epoch}: val_recon={val:.5f}")
             logger.log_epoch(epoch, {"val_recon": val})
 
@@ -159,12 +170,7 @@ def _batches(records, cfg, args, epoch_seed: int, drop_last=None):
     )
 
 
-def _evaluate(ld, params, records, cfg, args, flame) -> float:
-    loss_fn = jax.jit(
-        lambda p, motion, template, emo, mask: ld.stage1_train_loss(
-            p, motion, template, emo, mask
-        )[1]["recon_loss"]
-    )
+def _evaluate(loss_fn, params, records, cfg, args, flame) -> float:
     total, n = 0.0, 0
     # evaluation runs single-program per batch (no mesh): never drop the
     # remainder — with few valid records, drop_last could discard EVERY

@@ -85,6 +85,6 @@ def load_biwi(
                 if read_text:
                     txt = os.path.join(text_dir, key + ".txt")
                     if os.path.exists(txt):
-                        rec.text = open(txt).read()  # type: ignore[attr-defined]
+                        rec.text = open(txt).read()
                 splits[split].append(rec)
     return DataSplits(splits["train"], splits["val"], splits["test"])

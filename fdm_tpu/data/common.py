@@ -31,6 +31,7 @@ class SequenceRecord:
     style_one_hot: np.ndarray          # (S,)
     emotion_one_hot: Optional[np.ndarray] = None  # (E,)
     audio: Optional[np.ndarray] = None            # (num_samples,) float32 16 kHz
+    text: Optional[str] = None                    # transcript (BIWI raw_text)
 
     @property
     def num_frames(self) -> int:
@@ -58,7 +59,10 @@ def load_npy_f32(path: str) -> np.ndarray:
             return native.read_npy(path)
     except Exception:
         pass
-    return np.load(path, allow_pickle=True).astype(np.float32)
+    # no allow_pickle: the loaders only read plain numeric arrays, and
+    # pickle would execute code from untrusted dataset files (the native
+    # fallback rejects object arrays too)
+    return np.load(path).astype(np.float32)
 
 
 def read_wav(path: str, target_sr: int = 16000, normalize: bool = True) -> np.ndarray:
@@ -124,8 +128,14 @@ def collate_batch(
     include_audio: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Pad records to one bucketed length; emit frame_mask. Audio (when
-    included) is padded to exactly frames/fps seconds so the conv extractor
-    yields aligned 50 Hz frames."""
+    included) is padded to frames/fps seconds PLUS one conv hop (320
+    samples): the wav2vec2/HuBERT VALID conv stack over exactly T/fps
+    seconds yields 2T-1 fifty-Hz frames, one short — at fps=25 (BIWI) the
+    pairing path would then align every clip's final animation frame with
+    a zero-padded audio frame (the reference instead trims motion to
+    min(audio, vertice), reference models/fdm.py:75-77). The extra hop
+    makes the extractor yield exactly 2T frames (verified over T=1..700
+    for the (10,3,3,3,3,2,2)/(5,2,2,2,2,2,2) stack)."""
     T = max(bucket_frames(r.num_frames, bucket, max_frames) for r in records)
     B = len(records)
     D = records[0].motion.shape[1]
@@ -153,14 +163,21 @@ def collate_batch(
             "batch mixes records with and without emotion_one_hot"
         )
     have_audio = [r.audio is not None for r in records]
-    if include_audio and any(have_audio) and not all(have_audio):
-        raise ValueError("batch mixes records with and without audio")
+    if include_audio and not all(have_audio):
+        # the all-missing case must fail here too, not as a distant
+        # KeyError('audio') inside the train/sample step
+        raise ValueError(
+            "include_audio=True but records carry no audio"
+            if not any(have_audio)
+            else "batch mixes records with and without audio"
+        )
     if all(have_emo):
         batch["emotion_one_hot"] = np.stack(
             [r.emotion_one_hot for r in records]
         ).astype(np.float32)
-    if include_audio and all(have_audio):
-        samples = int(T * sr / fps)
+    if include_audio:
+        # one extra 50 Hz conv hop; see docstring
+        samples = int(T * sr / fps) + 320
         audio = np.zeros((B, samples), np.float32)
         for i, r in enumerate(records):
             n = min(len(r.audio), samples)

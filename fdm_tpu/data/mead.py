@@ -29,7 +29,7 @@ _EMOTION_ALIASES = {
     "angry": "angry", "anger": "angry",
     "contempt": "contempt",
     "disgusted": "disgusted", "disgust": "disgusted",
-    "fear": "fear",
+    "fear": "fear", "fearful": "fear",
     "happy": "happy", "happiness": "happy",
     "sad": "sad", "sadness": "sad",
     "surprised": "surprised", "surprise": "surprised",
@@ -53,7 +53,7 @@ def speaker_one_hot(pid: str) -> np.ndarray:
 def load_flame_params(path: str) -> np.ndarray:
     """npz {expression (T,50), pose (T,>=6)} -> (T,56) with global rotation
     zeroed and jaw kept (reference get_flame, data_loader_mead.py:120-126)."""
-    data = np.load(path, allow_pickle=True)
+    data = np.load(path)  # plain float arrays; no pickle execution
     expr = np.asarray(data["expression"], np.float32)
     jaw = np.asarray(data["pose"], np.float32)[:, 3:6]
     pose = np.concatenate([np.zeros_like(jaw), jaw], axis=1)

@@ -196,3 +196,29 @@ def test_training_mode_applies_dropout():
     e1 = enc.apply(params, wav)
     e2 = enc.apply(params, wav)
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_training_regularization_full_hf_set():
+    """The HF checkpoints train with attention-probs dropout, FFN-activation
+    dropout, and LayerDrop besides hidden dropout; each knob must be live
+    in training mode on its own, and all must be dead in eval."""
+    import dataclasses
+
+    base = dataclasses.replace(
+        tiny_cfg(), hidden_dropout=0.0, feat_proj_dropout=0.0,
+        attention_dropout=0.0, activation_dropout=0.0, layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    wav = jax.random.normal(jax.random.PRNGKey(0), (1, 800)) * 0.1
+    for knob in ("attention_dropout", "activation_dropout", "layerdrop"):
+        cfg = dataclasses.replace(base, **{knob: 0.5})
+        enc = AudioEncoder(cfg)
+        params = enc.init(jax.random.PRNGKey(1), wav)
+        t1 = enc.apply(params, wav, specaugment_key=jax.random.PRNGKey(2))
+        t2 = enc.apply(params, wav, specaugment_key=jax.random.PRNGKey(5))
+        assert not np.allclose(np.asarray(t1), np.asarray(t2), atol=1e-6), knob
+        # eval path ignores the knob entirely
+        e1 = enc.apply(params, wav)
+        enc0 = AudioEncoder(base)
+        e0 = enc0.apply(params, wav)
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e0))

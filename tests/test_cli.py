@@ -99,6 +99,25 @@ def test_demo_and_render(workdir, stage1_params, stage2_params):
     assert os.path.getsize("videos/gen.mp4") > 0
 
 
+def test_demo_emotion_labels_match_training_encoding():
+    """The demo's --emotion choices must encode exactly like the MEAD
+    training labels: training order for the 7 classes, all-zeros for
+    'neutral' (a demo-local ordering once conditioned 'sad' on the
+    'surprised' class vector)."""
+    from fdm_tpu.cli.demo import EMOTIONS as DEMO_EMOTIONS
+    from fdm_tpu.data.mead import EMOTIONS as TRAIN_EMOTIONS, emotion_one_hot
+
+    assert set(DEMO_EMOTIONS) == set(TRAIN_EMOTIONS) | {"neutral"}
+    np.testing.assert_array_equal(
+        emotion_one_hot("sad"),
+        np.eye(7, dtype=np.float32)[TRAIN_EMOTIONS.index("sad")],
+    )
+    np.testing.assert_array_equal(emotion_one_hot("neutral"), np.zeros(7))
+    np.testing.assert_array_equal(
+        emotion_one_hot("fearful"), emotion_one_hot("fear")
+    )
+
+
 def test_metrics_cli(workdir, stage1_params, stage2_params, capsys):
     from fdm_tpu.cli import metrics
 

@@ -172,4 +172,16 @@ def test_collate_bucket_and_mask(vocaset_root):
         batch["frame_mask"].sum(axis=1),
         [min(r.num_frames, T) for r in splits.train],
     )
-    assert batch["audio"].shape == (B, int(T * 16000 / 30))
+    # +320: one extra 50 Hz conv hop so the VALID conv stack yields a full
+    # pair_factor*T frames instead of 2T-1 (no zero-audio final frame)
+    assert batch["audio"].shape == (B, int(T * 16000 / 30) + 320)
+    # the conv arithmetic itself: exactly 2T frames from the padded length
+    def conv_frames(S, layers=((10, 5), (3, 2), (3, 2), (3, 2), (3, 2),
+                               (2, 2), (2, 2))):
+        for k, s in layers:
+            S = (S - k) // s + 1
+        return S
+
+    for t in (8, 25, 600):
+        assert conv_frames(int(t * 16000 / 25) + 320) == 2 * t
+        assert conv_frames(int(t * 16000 / 25)) == 2 * t - 1  # the old bug

@@ -73,9 +73,7 @@ def load_flame_model(
     parents = get("kintree_table")[0].astype(np.int64)
     parents[0] = -1
 
-    j_reg = get("J_regressor")
-    if hasattr(j_reg, "todense"):
-        j_reg = np.asarray(j_reg.todense())
+    j_reg = get("J_regressor")  # _to_np already densified sparse input
 
     lmk_idx = lmk_bary = None
     if static_landmark_path is not None:
@@ -341,7 +339,11 @@ def flame_forward(
             verts = verts + transl[:, None, :]
         return verts
 
-    if model.lmk_faces_idx is None or model.faces is None:
+    if (
+        model.lmk_faces_idx is None
+        or model.lmk_bary_coords is None
+        or model.faces is None
+    ):
         raise ValueError(
             "return_landmarks=True needs a model with faces + static "
             "landmark embedding (load_flame_model(static_landmark_path=...))"
@@ -355,6 +357,12 @@ def flame_forward(
         (B, *np.shape(model.lmk_bary_coords)),
     )
     if use_face_contour and model.dynamic_lmk_faces_idx is not None:
+        if model.dynamic_lmk_bary_coords is None:
+            raise ValueError(
+                "model has dynamic_lmk_faces_idx but no "
+                "dynamic_lmk_bary_coords; both load together from the "
+                "FLAME static embedding file"
+            )
         dyn_idx, dyn_bary = find_dynamic_lmk_idx_and_bcoords(
             model, full_pose
         )

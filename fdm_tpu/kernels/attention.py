@@ -204,7 +204,9 @@ def alibi_attention_flash(
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((B * H, Tp, hdp), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * Tp * Tp * hdp,
+            # QK^T + PV: two (Tp, Tp, hdp) GEMMs, same as the single-tile
+            # kernel above
+            flops=4 * B * H * Tp * Tp * hdp,
             bytes_accessed=4 * B * H * Tp * hdp * 4,
             transcendentals=B * H * Tp * Tp,
         ),

@@ -31,11 +31,18 @@ _ROW_BLOCK = 256
 def _check_partition_args(partition_ids, partitions: int) -> None:
     """partition_ids and partitions must be given together — the default
     partitions=0 would hit N // 0 at trace time with a bare
-    ZeroDivisionError instead of an actionable message."""
+    ZeroDivisionError, and partitions>0 alone would silently search the
+    WHOLE codebook instead of the caller's emotion slice."""
     if partition_ids is not None and partitions <= 0:
         raise ValueError(
             "partition_ids requires partitions > 0 (the number of equal "
             "codebook slices, e.g. EVQ emotion_partitions)"
+        )
+    if partition_ids is None and partitions > 0:
+        raise ValueError(
+            "partitions > 0 requires partition_ids (per-row slice "
+            "selectors); omitting them would silently search the whole "
+            "codebook"
         )
 
 
@@ -73,7 +80,7 @@ def nearest_code_pallas(
     _check_partition_args(partition_ids, partitions)
     M, D = z.shape
     N = codebook.shape[0]
-    Mp = _round_up(max(M, 8), _ROW_BLOCK)
+    Mp = _round_up(M, _ROW_BLOCK)
     Dp = _round_up(D, _LANE)
     Np = _round_up(N, _LANE)
 

@@ -69,12 +69,26 @@ def _load_region(path: str, weight_threshold: float = 0.0) -> np.ndarray:
         weighted_mouth_mask.txt at 0.1, forehead_mask.txt at 0.4 —
         reference computer_metrix.py:42-55)."""
     if path.endswith(".npy"):
-        return np.load(path).astype(np.int64).reshape(-1)
-    text = open(path).read().replace(",", " ")
-    values = np.asarray([float(v) for v in text.split()], dtype=np.float64)
-    if np.all(values == np.round(values)) and (values.max() > 1 or weight_threshold == 0.0):
-        return values.astype(np.int64)
-    return np.nonzero(values > weight_threshold)[0].astype(np.int64)
+        ids = np.load(path).astype(np.int64).reshape(-1)
+    else:
+        text = open(path).read().replace(",", " ")
+        values = np.asarray(
+            [float(v) for v in text.split()], dtype=np.float64
+        )
+        if values.size == 0:
+            raise SystemExit(f"region file {path!r} is empty")
+        if np.all(values == np.round(values)) and (
+            values.max() > 1 or weight_threshold == 0.0
+        ):
+            ids = values.astype(np.int64)
+        else:
+            ids = np.nonzero(values > weight_threshold)[0].astype(np.int64)
+    if ids.size == 0:
+        raise SystemExit(
+            f"region file {path!r} selects zero vertices (weight "
+            f"threshold {weight_threshold})"
+        )
+    return ids
 
 
 def _load_templates(path: str):

@@ -54,6 +54,11 @@ def region_vertex_error(gt: np.ndarray, pred: np.ndarray,
     """Per-frame region error: max (FVE/LVE) or mean (EME) of the squared
     vertex error over the region. Returns (T,)."""
     err = squared_vertex_error(gt, pred, region)
+    if err.shape[1] == 0:
+        raise ValueError(
+            "region selects zero vertices (empty id array — check the "
+            "region file / weight threshold)"
+        )
     if reduce == "max":
         return err.max(axis=1)
     if reduce == "mean":
@@ -116,13 +121,33 @@ class MetricAccumulator:
     'emotion' for MEAD) region additionally drives per-sequence FDD when a
     template is supplied."""
 
-    MAX_REGIONS = ("face", "lip", "mouth", "all")
+    # every region pools per-frame maxima unless listed in MEAN_REGIONS
     MEAN_REGIONS = ("emotion",)
+    # output keys result() produces besides the per-region metrics; a user
+    # region may not shadow them
+    RESERVED_KEYS = ("num_frames", "num_sequences", "ave", "mve", "fdd",
+                     "abs_fdd")
 
     def __init__(self, regions: Dict[str, np.ndarray],
                  fdd_region: Optional[str] = None):
         self.regions = {k: np.asarray(v, dtype=np.int64)
                         for k, v in regions.items()}
+        for name, ids in self.regions.items():
+            if ids.size == 0:
+                raise ValueError(
+                    f"region {name!r} selects zero vertices (empty id "
+                    "array — check the region file / weight threshold)"
+                )
+            if name in self.RESERVED_KEYS:
+                raise ValueError(
+                    f"region name {name!r} collides with a reserved "
+                    f"output key; reserved: {self.RESERVED_KEYS}"
+                )
+        if fdd_region is not None and fdd_region not in self.regions:
+            raise ValueError(
+                f"fdd_region {fdd_region!r} is not a region; have "
+                f"{sorted(self.regions)}"
+            )
         self.fdd_region = fdd_region
         self._frame_errors: Dict[str, list] = {k: [] for k in self.regions}
         # the automatic full-vertex per-frame max gets its own series so a
@@ -170,8 +195,10 @@ class MetricAccumulator:
             key = name_map.get(name, name)
             if key in out:
                 # two regions mapping to one key ('lip' + 'mouth' both mean
-                # LVE): keep both, the second under its own region name
-                key = name
+                # LVE): keep both, the second under its own region name —
+                # suffixed if that STILL collides (a region literally named
+                # 'fve' next to 'face')
+                key = name if name not in out else f"{name}_region"
             out[key] = float(np.mean(np.concatenate(chunks)))
         if self._mve_frames:
             out["mve"] = float(np.mean(np.concatenate(self._mve_frames)))

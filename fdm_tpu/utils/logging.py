@@ -15,6 +15,17 @@ import os
 import time
 
 
+def _to_py(v):
+    """numpy/jax scalar (or 0-d array) -> Python scalar; everything else
+    passes through. Without this, np.float32 metrics dodge the NaN guard
+    (isinstance(np.float32(x), float) is False), vanish from TensorBoard,
+    and kill the run at json.dumps."""
+    item = getattr(v, "item", None)
+    if item is not None and getattr(v, "ndim", 0) == 0:
+        return item()
+    return v
+
+
 class MetricLogger:
     def __init__(self, log_dir: str, run_name: str = "run",
                  tensorboard: bool = True):
@@ -28,6 +39,7 @@ class MetricLogger:
             self._tb = EventFileWriter(os.path.join(log_dir, run_name))
 
     def log_step(self, step: int, metrics: dict):
+        metrics = {k: _to_py(v) for k, v in metrics.items()}
         self._write({"kind": "step", "step": step, **metrics})
         if self._tb is not None:
             for k, v in metrics.items():
@@ -36,6 +48,7 @@ class MetricLogger:
             self._tb.flush()
 
     def log_epoch(self, epoch: int, metrics: dict):
+        metrics = {k: _to_py(v) for k, v in metrics.items()}
         self._write({"kind": "epoch", "epoch": epoch, **metrics})
         if self._tb is not None:
             for k, v in metrics.items():

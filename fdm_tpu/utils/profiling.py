@@ -15,7 +15,7 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, with_memory: bool = True):
+def trace(log_dir: str):
     """Capture a jax.profiler trace (view with TensorBoard or Perfetto).
 
     Usage:
@@ -41,8 +41,13 @@ def annotate(name: str):
 
 class StepTimer:
     """Device-synchronized wall-clock timer with warmup discard and
-    percentile summary — the measurement harness bench.py and the trainers
-    share."""
+    percentile summary, for multi-second measured regions.
+
+    Sync caveat: block_until_ready over the axon tunnel can return EARLY
+    on small programs (a ~6 ms forward "measured" 1.1 ms) — for
+    sub-100 ms micro-probes sync with jax.device_get(out.ravel()[0])
+    instead, as bench.py does; this timer is only trustworthy when the
+    timed region is long enough that a premature unblock is noise."""
 
     def __init__(self, warmup: int = 1):
         self.warmup = warmup

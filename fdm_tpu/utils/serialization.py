@@ -38,8 +38,6 @@ def fill_missing(params, template, label: str = "params"):
     before a parameter existed (e.g. audio encoders converted before the
     SpecAugment `masked_spec_embed` param was introduced). Returns a new
     tree; prints each filled path."""
-    import copy
-
     filled = []
 
     def rec(p, t, path):
@@ -57,7 +55,10 @@ def fill_missing(params, template, label: str = "params"):
                 p[k] = tv
                 filled.append("/".join(path + (str(k),)))
 
-    out = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, params))
+    # identity tree_map rebuilds fresh CONTAINERS (all rec() mutates) while
+    # sharing the weight arrays — deep-copying them would double peak host
+    # memory for a HuBERT-large tree on every pre-upgrade-artifact load
+    out = jax.tree_util.tree_map(lambda x: x, params)
     rec(out, template, ())
     if filled:
         print(

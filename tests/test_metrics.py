@@ -285,3 +285,41 @@ def test_multiface_weighted_mask_branch_end_to_end(tmp_path, capsys):
     np.testing.assert_allclose(results["lve"], lve_ref, rtol=1e-5)
     np.testing.assert_allclose(results["fdd"], fdd_ref, rtol=1e-5)
     np.testing.assert_allclose(results["abs_fdd"], abs_fdd_ref, rtol=1e-5)
+
+
+def test_accumulator_validates_configuration_up_front():
+    """Empty regions, unknown fdd_region, and reserved-key region names all
+    fail at construction with actionable messages instead of mid-run
+    KeyError/zero-size-reduction crashes (round-3 review findings)."""
+    import numpy as np
+    import pytest
+
+    from fdm_tpu.eval.metrics import MetricAccumulator, region_vertex_error
+
+    with pytest.raises(ValueError, match="zero vertices"):
+        MetricAccumulator({"lip": np.array([], dtype=np.int64)})
+    with pytest.raises(ValueError, match="not a region"):
+        MetricAccumulator({"lip": np.arange(2)}, fdd_region="upper")
+    with pytest.raises(ValueError, match="reserved"):
+        MetricAccumulator({"ave": np.arange(2)})
+    # the free function guards empty regions too (direct users)
+    gt = np.zeros((2, 4, 3))
+    with pytest.raises(ValueError, match="zero vertices"):
+        region_vertex_error(gt, gt, np.array([], dtype=np.int64))
+
+
+def test_load_region_rejects_empty_selections(tmp_path):
+    """An empty region file or an over-tight weight threshold must exit
+    with an actionable message, not a zero-size numpy reduction error."""
+    import pytest
+
+    from fdm_tpu.cli.metrics import _load_region
+
+    empty = tmp_path / "empty.txt"
+    empty.write_text("")
+    with pytest.raises(SystemExit, match="is empty"):
+        _load_region(str(empty))
+    weights = tmp_path / "w.txt"
+    weights.write_text("0.05\n0.02\n0.01\n")
+    with pytest.raises(SystemExit, match="zero vertices"):
+        _load_region(str(weights), weight_threshold=2.0)

@@ -122,3 +122,17 @@ def test_tb_varint_rejects_negative():
 
     with pytest.raises(ValueError, match="non-negative"):
         _varint(-1)
+
+
+def test_metric_logger_accepts_numpy_scalars(tmp_path):
+    """np.float32/np.int64 metrics must hit the NaN guard, reach
+    TensorBoard, and serialize — not raise at json.dumps (round-3 review
+    finding)."""
+    logger = MetricLogger(str(tmp_path), "run", tensorboard=False)
+    logger.log_epoch(
+        1,
+        {"a": np.float32(0.25), "b": np.int64(3), "c": np.float32("nan")},
+    )
+    logger.close()
+    rec = json.loads(open(logger.path).read())
+    assert rec["a"] == 0.25 and rec["b"] == 3 and rec["c"] is None

@@ -251,9 +251,17 @@ def decode_motion(cfg: PipelineConfig, batch: dict,
         return batch
     out = dict(batch)
     out["motion"] = flame(jnp.asarray(batch["motion"]))
-    out["template"] = flame.template(
-        batch["template"].shape[0], batch["template"].shape[-1]
-    )
+    # the cached zero-param template is only equivalent if the loader's
+    # template params really are all zero (true for mead.py and the
+    # synthetic records); this is still host numpy, so the check is cheap
+    tmpl = batch["template"]
+    if isinstance(tmpl, np.ndarray) and tmpl.any():
+        raise ValueError(
+            "FLAME-param dataset supplied non-zero template params; the "
+            "cached zero-param template decode does not cover this — "
+            "decode per-subject templates instead"
+        )
+    out["template"] = flame.template(tmpl.shape[0], tmpl.shape[-1])
     return out
 
 

@@ -116,15 +116,20 @@ def raster_pbr(tri_pix: np.ndarray, tri_z: np.ndarray,
 
 
 def build_native(force: bool = False) -> bool:
-    """Compile native/libfdm_native.so with make; returns availability."""
-    if not force and os.path.exists(_LIB_PATH):
-        return True
+    """Compile native/libfdm_native.so with make; returns availability.
+
+    Always invokes make when the source tree is present (incremental, a
+    no-op when fresh) — an exists() short-circuit would silently test and
+    run against a stale .so after source edits."""
     native_dir = os.path.dirname(_LIB_PATH)
+    if not os.path.exists(os.path.join(native_dir, "Makefile")):
+        # installed without sources (lib shipped prebuilt)
+        return os.path.exists(_LIB_PATH)
     try:
-        subprocess.run(["make", "-C", native_dir], check=True,
-                       capture_output=True)
+        args = ["make", "-C", native_dir] + (["-B"] if force else [])
+        subprocess.run(args, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
-        return False
+        return os.path.exists(_LIB_PATH)
     return os.path.exists(_LIB_PATH)
 
 
@@ -201,6 +206,10 @@ class NpyPrefetcher:
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
         lib = self._lib
         while True:
+            if self._handle is None:
+                # closed (possibly mid-iteration); a NULL handle would
+                # segfault in fdm_prefetcher_next
+                raise RuntimeError("NpyPrefetcher is closed")
             data = ctypes.POINTER(ctypes.c_float)()
             shape = (ctypes.c_int64 * _MAX_DIMS)()
             ndim = ctypes.c_int()

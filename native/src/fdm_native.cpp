@@ -60,6 +60,9 @@ bool parse_npy_header(FILE* f, std::string* descr, bool* fortran,
     if (fread(b, 1, 4, f) != 4) return false;
     header_len = b[0] | (b[1] << 8) | (b[2] << 16) | ((uint32_t)b[3] << 24);
   }
+  // dict headers are <1 KiB in practice; a multi-MiB length is a corrupt
+  // or hostile file, not a real header — refuse before allocating
+  if (header_len == 0 || header_len > (1u << 20)) return false;
   std::string header(header_len, '\0');
   if (fread(&header[0], 1, header_len, f) != header_len) return false;
 
@@ -96,6 +99,7 @@ bool parse_npy_header(FILE* f, std::string* descr, bool* fortran,
     char* end = nullptr;
     long long v = strtoll(p, &end, 10);
     if (end == p) break;
+    if (v < 0) return false;  // corrupt header; a real shape is >= 0
     shape[(*ndim)++] = (int64_t)v;
     p = end;
   }
@@ -158,6 +162,21 @@ bool load_npy_f32(const char* path, Array* arr) {
   else if (descr == "<i4") item = 4;
   else if (descr == "<i8") item = 8;
   else {
+    fclose(f);
+    return false;
+  }
+  // the header's shape is file-supplied (untrusted): bound n by the bytes
+  // actually present after the header so a hostile shape cannot overflow
+  // (size_t)n * item or oversize the allocation
+  long data_start = ftell(f);
+  if (n < 0 || data_start < 0 || fseek(f, 0, SEEK_END) != 0) {
+    fclose(f);
+    return false;
+  }
+  long file_end = ftell(f);
+  int64_t avail = (int64_t)file_end - data_start;
+  if (avail < 0 || n > avail / (int64_t)item ||
+      fseek(f, data_start, SEEK_SET) != 0) {
     fclose(f);
     return false;
   }
@@ -278,6 +297,16 @@ struct Prefetcher {
 
 }  // namespace
 
+// Clamp a (double) pixel bound into [0, size] BEFORE the int cast: a
+// float->int cast outside int range is UB (a near-plane-grazing vertex can
+// project to |pixel| > 2^31), and NaN coordinates must yield an empty bbox,
+// not an undefined one.
+static inline int clamp_px(double v, int size) {
+  if (!(v > 0.0)) return 0;  // negatives and NaN
+  if (v >= (double)size) return size;
+  return (int)v;
+}
+
 extern "C" {
 
 // ---- single-file loads (caller frees with fdm_free) ----
@@ -322,12 +351,10 @@ void fdm_raster_gouraud(const float* tri_pix,   // (F, 3, 2) pixel xy
     const double den =
         (double)(by - cy) * (ax - cx) + (double)(cx - bx) * (ay - cy);
     if (std::fabs(den) < 1e-12) continue;
-    int x0 = (int)std::floor(std::min(ax, std::min(bx, cx)));
-    int x1 = (int)std::ceil(std::max(ax, std::max(bx, cx))) + 1;
-    int y0 = (int)std::floor(std::min(ay, std::min(by, cy)));
-    int y1 = (int)std::ceil(std::max(ay, std::max(by, cy))) + 1;
-    x0 = std::max(x0, 0); y0 = std::max(y0, 0);
-    x1 = std::min(x1, size); y1 = std::min(y1, size);
+    const int x0 = clamp_px(std::floor((double)std::min(ax, std::min(bx, cx))), size);
+    const int x1 = clamp_px(std::ceil((double)std::max(ax, std::max(bx, cx))) + 1.0, size);
+    const int y0 = clamp_px(std::floor((double)std::min(ay, std::min(by, cy))), size);
+    const int y1 = clamp_px(std::ceil((double)std::max(ay, std::max(by, cy))) + 1.0, size);
     if (x0 >= x1 || y0 >= y1) continue;
     const float za = tri_z[i * 3], zb = tri_z[i * 3 + 1],
                 zc = tri_z[i * 3 + 2];
@@ -389,12 +416,10 @@ void fdm_raster_pbr(const float* tri_pix,   // (F, 3, 2) pixel xy
     const double den =
         (double)(by - cy) * (ax - cx) + (double)(cx - bx) * (ay - cy);
     if (std::fabs(den) < 1e-12) continue;
-    int x0 = (int)std::floor(std::min(ax, std::min(bx, cx)));
-    int x1 = (int)std::ceil(std::max(ax, std::max(bx, cx))) + 1;
-    int y0 = (int)std::floor(std::min(ay, std::min(by, cy)));
-    int y1 = (int)std::ceil(std::max(ay, std::max(by, cy))) + 1;
-    x0 = std::max(x0, 0); y0 = std::max(y0, 0);
-    x1 = std::min(x1, size); y1 = std::min(y1, size);
+    const int x0 = clamp_px(std::floor((double)std::min(ax, std::min(bx, cx))), size);
+    const int x1 = clamp_px(std::ceil((double)std::max(ax, std::max(bx, cx))) + 1.0, size);
+    const int y0 = clamp_px(std::floor((double)std::min(ay, std::min(by, cy))), size);
+    const int y1 = clamp_px(std::ceil((double)std::max(ay, std::max(by, cy))) + 1.0, size);
     if (x0 >= x1 || y0 >= y1) continue;
     const double iza = 1.0 / tri_z[i * 3], izb = 1.0 / tri_z[i * 3 + 1],
                  izc = 1.0 / tri_z[i * 3 + 2];
@@ -499,7 +524,13 @@ int fdm_prefetcher_next(void* handle, float** data, int64_t* shape,
 
 void fdm_prefetcher_destroy(void* handle) {
   auto* pf = (Prefetcher*)handle;
-  pf->stop.store(true);
+  {
+    // the store must happen under mu: a worker between its wait-predicate
+    // check and blocking would otherwise miss the notify (lost wakeup)
+    // and join() below would deadlock
+    std::lock_guard<std::mutex> lock(pf->mu);
+    pf->stop.store(true);
+  }
   pf->cv_space.notify_all();
   pf->cv_ready.notify_all();
   for (auto& t : pf->workers) t.join();

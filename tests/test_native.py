@@ -136,3 +136,64 @@ def test_raster_gouraud_matches_numpy_and_is_fast():
     assert mismatched.mean() < 0.002, mismatched.mean()
     assert np.isfinite(zbuf_c).sum() > 0.05 * size * size
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+def test_hostile_npy_shapes_rejected(tmp_path):
+    """File-supplied shapes are untrusted: an overflow-sized or negative
+    shape must make the native loader return an error (numpy fallback),
+    never allocate/overflow (round-3 review finding)."""
+    import ctypes
+
+    lib = native._load_lib()
+    assert lib is not None
+
+    def raw_npy(shape_str, descr="<f8", payload=b"\x00" * 64):
+        header = (
+            "{'descr': '%s', 'fortran_order': False, 'shape': %s, }"
+            % (descr, shape_str)
+        ).encode()
+        pad = (64 - (10 + len(header) + 1) % 64) % 64
+        header += b" " * pad + b"\n"
+        return (
+            b"\x93NUMPY\x01\x00"
+            + len(header).to_bytes(2, "little")
+            + header
+            + payload
+        )
+
+    cases = {
+        "overflow.npy": "(2305843009213693952, 2)",  # n*item wraps
+        "negative.npy": "(-1,)",
+        "oversized.npy": "(1000000,)",  # claims more data than present
+    }
+    for name, shape_str in cases.items():
+        p = tmp_path / name
+        p.write_bytes(raw_npy(shape_str))
+        data = ctypes.POINTER(ctypes.c_float)()
+        shp = (ctypes.c_int64 * 8)()
+        ndim = ctypes.c_int()
+        rc = lib.fdm_npy_load_f32(
+            str(p).encode(), ctypes.byref(data), shp, ctypes.byref(ndim)
+        )
+        assert rc != 0, name
+
+
+def test_prefetcher_closed_iteration_raises(tmp_path):
+    """Iterating a closed prefetcher must raise, not pass NULL into C++
+    (round-3 review finding); close() during blocked-full workers must not
+    deadlock (lost-wakeup fix)."""
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"{i}.npy"
+        np.save(p, np.full((4, 3), i, np.float32))
+        paths.append(str(p))
+    pf = native.NpyPrefetcher(paths, capacity=1, workers=2)
+    it = iter(pf)
+    next(it)  # ring is full; remaining workers are blocked on cv_space
+    pf.close()  # must return (join succeeds), not deadlock
+    with pytest.raises(RuntimeError, match="closed"):
+        next(it)
+    pf2 = native.NpyPrefetcher(paths, capacity=2, workers=2)
+    pf2.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        next(iter(pf2))

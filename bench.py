@@ -302,6 +302,25 @@ def emit(record):
     print(json.dumps(record), flush=True)
 
 
+def _await_tunnel_recovery(deadline_s: float) -> bool:
+    """Block until a tiny device matmul completes (the tunnel recovered) or
+    the deadline passes. The probe runs in a worker thread because a wedged
+    tunnel HANGS the program rather than raising."""
+    import concurrent.futures
+
+    def probe() -> bool:
+        x = jnp.ones((128, 128))
+        return bool(jax.device_get((x @ x).ravel()[0]) == 128.0)
+
+    ex = concurrent.futures.ThreadPoolExecutor(1)
+    try:
+        return ex.submit(probe).result(timeout=deadline_s)
+    except Exception:  # timeout or probe failure: still wedged
+        return False
+    finally:
+        ex.shutdown(wait=False)
+
+
 def run_suite(name: str, fn) -> bool:
     """Run one suite; emit its record(s) the moment they exist. On a
     FAILED_PRECONDITION (wedged axon tunnel, CLAUDE.md fact 8) wait and
@@ -323,7 +342,12 @@ def run_suite(name: str, fn) -> bool:
                 "FAILED_PRECONDITION" in msg or "FailedPrecondition" in msg
             )
             if attempt == 0 and wedged:
-                time.sleep(90)  # tunnel recovers on its own; then retry
+                # documented wedges last 20-40 min and then recover with
+                # blocked programs resuming; a fixed short sleep usually
+                # burned the one retry against a still-wedged tunnel. A
+                # tiny-matmul probe blocks exactly until recovery (or the
+                # deadline), so wait on it instead.
+                _await_tunnel_recovery(deadline_s=1500.0)
                 continue
             emit({
                 "metric": f"{name}_error", "value": None, "unit": "",
@@ -359,12 +383,18 @@ def main():
                     help="timing repeats (default: 3; train suite 20/10)")
     args = ap.parse_args()
 
+    if args.repeats is not None and args.repeats < 1:
+        ap.error("--repeats must be >= 1")
     explicit_repeats = args.repeats
     if args.quick:
         args.seconds, args.steps = 2.0, 50
         args.repeats = explicit_repeats or 1
     elif args.repeats is None:
         args.repeats = 3
+    # the train suite's steady-state defaults, honoring --quick (an
+    # explicit --repeats always wins)
+    train_reps_b1 = explicit_repeats or (3 if args.quick else 20)
+    train_reps_b8 = explicit_repeats or (2 if args.quick else 10)
 
     suites = (
         [args.only] if args.only
@@ -389,15 +419,18 @@ def main():
             # (unlike B=1), so bf16 and a deeper batch both pay off there
             # (measured per-clip bf16: b8 0.0084, b16 0.0079, b32 0.0077 —
             # flattening, so b32 is kept as the headline and b16 for
-            # record continuity)
-            ok = run_suite("mead_throughput_b16_bf16", lambda: bench_rtf(
-                "mead", "ddpm", args.steps, args.seconds, args.repeats,
-                args.fused, "bfloat16", batch_size=16,
-            )) or ok
-            ok = run_suite("mead_throughput_b32_bf16", lambda: bench_rtf(
-                "mead", "ddpm", args.steps, args.seconds, args.repeats,
-                args.fused, "bfloat16", batch_size=32,
-            )) or ok
+            # record continuity). Skip whichever duplicates the record just
+            # emitted (a --dtype bfloat16 --batch_size 16/32 invocation).
+            for fixed_b in (16, 32):
+                if args.dtype == "bfloat16" and args.batch_size == fixed_b:
+                    continue
+                ok = run_suite(
+                    f"mead_throughput_b{fixed_b}_bf16",
+                    lambda b=fixed_b: bench_rtf(
+                        "mead", "ddpm", args.steps, args.seconds,
+                        args.repeats, args.fused, "bfloat16", batch_size=b,
+                    ),
+                ) or ok
             # batched DDIM serving generalizes to the other two datasets
             # (measured: 2.5x / 2.1x the B=1 fp32 per-clip rate)
             ok = run_suite("biwi_throughput_b8_bf16", lambda: bench_rtf(
@@ -411,24 +444,24 @@ def main():
         elif suite == "train":
             # an explicit --repeats wins; otherwise 20/10 steady-state steps
             ok = run_suite("train_b1", lambda: bench_train_step(
-                repeats=explicit_repeats or 20, dtype=args.dtype,
+                repeats=train_reps_b1, dtype=args.dtype,
             ))
             # batched training: utilization the reference's batch-1 loop
             # cannot reach
             ok = run_suite("train_b8", lambda: bench_train_step(
-                repeats=explicit_repeats or 10, dtype=args.dtype,
+                repeats=train_reps_b8, dtype=args.dtype,
                 batch_size=8,
             )) or ok
         elif suite == "bf16":
             # dtype-tagged records: best-utilization train point + the
             # documented bf16-doesn't-help-B=1-latency inference result
             ok = run_suite("train_b8_bf16", lambda: bench_train_step(
-                repeats=explicit_repeats or 10, dtype="bfloat16",
+                repeats=train_reps_b8, dtype="bfloat16",
                 batch_size=8,
             ))
             # best measured utilization point (40% MFU at batch 16)
             ok = run_suite("train_b16_bf16", lambda: bench_train_step(
-                repeats=explicit_repeats or 10, dtype="bfloat16",
+                repeats=train_reps_b8, dtype="bfloat16",
                 batch_size=16,
             )) or ok
             ok = run_suite("mead_bf16", lambda: bench_rtf(

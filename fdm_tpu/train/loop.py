@@ -357,6 +357,8 @@ class Trainer:
         if self.logger is not None:
             self.logger.log_epoch(epoch, means)
         if self._profiling:
+            # drain async-dispatched steps first or the trace truncates
+            jax.block_until_ready(self.state.params)
             jax.profiler.stop_trace()
             self._profiling = False
         if (
@@ -390,10 +392,19 @@ class Trainer:
 
 
 def _step_takes_rng(step_fn) -> bool:
+    """True when step_fn has a third REQUIRED positional parameter (the
+    PRNG key slot of make_stage*_step functions). Counting every parameter
+    would silently bind the key to an unrelated keyword like
+    `deterministic=True` on custom steps."""
     try:
         import inspect
 
-        sig = inspect.signature(step_fn)
-        return len(sig.parameters) >= 3
+        params = list(inspect.signature(step_fn).parameters.values())
+        positional = [
+            p for p in params
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            and p.default is p.empty
+        ]
+        return len(positional) >= 3
     except (TypeError, ValueError):
         return True

@@ -35,7 +35,7 @@ from fdm_tpu.diffusion import (
     p_losses,
 )
 from fdm_tpu.models.fdm import FDM
-from fdm_tpu.ops import masked_mean
+from fdm_tpu.ops import hw_dropout_key, masked_mean
 
 
 @dataclasses.dataclass(frozen=True)
@@ -204,12 +204,15 @@ class LatentDiffusion:
             fdm_params, audio_hidden, method="prepare_audio"
         )
 
+        # hardware-RNG bits for the decoder dropout masks (ops.hw_dropout_key)
+        fdm_drop_key = hw_dropout_key(drop_key)
+
         def denoise_fn(x_t, t_in):
             # deterministic=False activates the decoder-layer dropout
             # (reference nn.TransformerDecoderLayer trains with dropout=0.1)
             return self.fdm.apply(
                 fdm_params, x_t, t_in, audio_feat, style_in, emo_in,
-                False, method="denoise", rngs={"dropout": drop_key},
+                False, method="denoise", rngs={"dropout": fdm_drop_key},
             )
 
         token_mask = self._token_mask(frame_mask)

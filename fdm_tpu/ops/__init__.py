@@ -1,5 +1,6 @@
 from fdm_tpu.ops.basic import (
     fill_padding_with_edge,
+    hw_dropout_key,
     instance_norm_1d,
     masked_mean,
     mish,
@@ -14,6 +15,7 @@ from fdm_tpu.ops.masks import alibi_biased_mask, enc_dec_diagonal_allowed, lengt
 
 __all__ = [
     "fill_padding_with_edge",
+    "hw_dropout_key",
     "masked_mean",
     "mish",
     "instance_norm_1d",

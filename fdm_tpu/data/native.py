@@ -120,16 +120,40 @@ def build_native(force: bool = False) -> bool:
 
     Always invokes make when the source tree is present (incremental, a
     no-op when fresh) — an exists() short-circuit would silently test and
-    run against a stale .so after source edits."""
+    run against a stale .so after source edits. If make relinks the
+    library while a handle is already cached, the cache is dropped so the
+    next _load_lib() dlopens the fresh binary (the old mapping stays
+    resident but unreferenced). A failed compile is surfaced and reported
+    as unavailable rather than silently falling back to the stale .so."""
+    global _lib
     native_dir = os.path.dirname(_LIB_PATH)
     if not os.path.exists(os.path.join(native_dir, "Makefile")):
         # installed without sources (lib shipped prebuilt)
         return os.path.exists(_LIB_PATH)
+
+    def _mtime():
+        try:
+            return os.stat(_LIB_PATH).st_mtime_ns
+        except OSError:
+            return None
+
+    before = _mtime()
     try:
         args = ["make", "-C", native_dir] + (["-B"] if force else [])
         subprocess.run(args, check=True, capture_output=True)
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except FileNotFoundError:
+        # no make binary: use whatever is already built
         return os.path.exists(_LIB_PATH)
+    except subprocess.CalledProcessError as e:
+        import sys
+        stderr = (e.stderr or b"").decode(errors="replace")[-2000:]
+        print(
+            f"build_native: make failed (rc={e.returncode}):\n{stderr}",
+            file=sys.stderr,
+        )
+        return False
+    if _lib is not None and _mtime() != before:
+        _lib = None  # relinked: drop the stale dlopen handle
     return os.path.exists(_LIB_PATH)
 
 

@@ -27,7 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="MEAD 24 / BIWI 25 / VOCASET 30")
     parser.add_argument("--size", type=int, default=800)
     parser.add_argument("--audio_dir", default=None,
-                        help="dir of <name>.wav files to mux (needs ffmpeg)")
+                        help="dir of <name>.wav files to mux (via ffmpeg "
+                             "when available, else a hand-written MJPEG+PCM "
+                             ".avi — no external binary needed)")
     parser.add_argument("--faces", default=None,
                         help=".npy (F, 3) triangle indices -> mesh "
                              "rendering instead of point splats")

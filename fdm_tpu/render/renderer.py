@@ -158,19 +158,31 @@ def write_video(
 ) -> int:
     """Write frames to an .mp4 (cv2 VideoWriter); mux audio with ffmpeg when
     the binary is available (the reference shells out to ffmpeg for both
-    encode and mux, render/render.py:146-153). Returns the frame count."""
+    encode and mux, render/render.py:146-153). Without ffmpeg the audio is
+    NOT dropped: a sibling .avi (hand-written MJPEG + PCM container,
+    render/avi.py) carries the muxed result. Returns the frame count."""
     import cv2
 
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    # no ffmpeg -> the mp4 cannot carry audio; collect per-frame JPEGs in
+    # the same pass so the AVI fallback never re-renders
+    need_avi = bool(audio_path) and not shutil.which("ffmpeg")
+    from fdm_tpu.render import avi as _avi
+
     writer = None
     count = 0
+    jpegs = []
+    size = None
     for frame in frames:
         if writer is None:
             h, w = frame.shape[:2]
+            size = (w, h)
             writer = cv2.VideoWriter(
                 path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
             )
         writer.write(frame[..., ::-1])  # RGB -> BGR
+        if need_avi:
+            jpegs.extend(_avi.encode_jpeg_frames([frame]))
         count += 1
     if writer is not None:
         writer.release()
@@ -184,6 +196,46 @@ def write_video(
         )
         if result.returncode == 0:
             os.replace(muxed, path)
-    elif audio_path:
-        print("ffmpeg not found; wrote silent video")
+    elif need_avi and count:
+        wav = _load_wav_mono(audio_path)
+        if wav is None:
+            print(f"could not decode {audio_path}; wrote silent video")
+        else:
+            samples, sr = wav
+            avi_path = os.path.splitext(path)[0] + ".avi"
+            _avi.write_avi_mjpeg(
+                avi_path, jpegs, fps, size, audio=samples, sample_rate=sr
+            )
+            print(f"ffmpeg not found; wrote audio-muxed MJPEG AVI {avi_path}")
     return count
+
+
+def _load_wav_mono(path: str):
+    """(float32 mono samples, sample_rate) via the native PCM16 decoder,
+    falling back to scipy; None when neither can read it."""
+    try:
+        from fdm_tpu.data.native import read_wav_pcm16
+
+        out = read_wav_pcm16(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    try:
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(path)
+        data = np.asarray(data)
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            data = data.astype(np.float32) / 2147483648.0
+        elif data.dtype == np.uint8:
+            data = (data.astype(np.float32) - 128.0) / 128.0
+        else:
+            data = data.astype(np.float32)
+        return data, int(sr)
+    except Exception:
+        return None

@@ -412,3 +412,95 @@ def test_render_sequence_voca_rig_and_video(tmp_path):
     out = str(tmp_path / "voca.mp4")
     n = write_video(iter(frames), out, fps=25)
     assert n == 2 and os.path.getsize(out) > 0
+
+
+def _riff_chunks(buf, start, end):
+    """Yield (fourcc, payload_start, payload_size) inside buf[start:end]."""
+    import struct
+    pos = start
+    while pos + 8 <= end:
+        cc = buf[pos:pos + 4]
+        (sz,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        yield cc, pos + 8, sz
+        pos += 8 + sz + (sz % 2)
+
+
+def test_avi_mjpeg_audio_mux_roundtrip(tmp_path):
+    """render/avi.py writes a playable MJPEG+PCM AVI without ffmpeg: cv2
+    reads the video stream back, and the interleaved '01wb' chunks carry
+    the exact PCM the caller supplied (the reference's final artifact is a
+    video WITH audio — render/render.py:146-153 muxes via ffmpeg, which
+    this image does not have)."""
+    import struct
+    import cv2
+    from fdm_tpu.render.avi import encode_jpeg_frames, write_avi_mjpeg
+
+    rng = np.random.RandomState(0)
+    n, w, h, fps, sr = 10, 64, 48, 25, 16000
+    frames = [
+        (rng.rand(h, w, 3) * 255).astype(np.uint8) for _ in range(n)
+    ]
+    t = np.arange(int(sr * n / fps) + 37)  # +tail samples ride last chunk
+    audio = (0.5 * np.sin(2 * np.pi * 440.0 * t / sr)).astype(np.float32)
+    path = str(tmp_path / "clip.avi")
+    jpegs = encode_jpeg_frames(frames)
+    assert write_avi_mjpeg(path, jpegs, fps, (w, h),
+                           audio=audio, sample_rate=sr) == n
+
+    cap = cv2.VideoCapture(path)
+    assert cap.isOpened()
+    count = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        assert frame.shape == (h, w, 3)
+        count += 1
+    assert count == n
+    assert abs(cap.get(cv2.CAP_PROP_FPS) - fps) < 0.5
+    cap.release()
+
+    buf = open(path, "rb").read()
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+    # walk the top-level chunks to the movi list; collect audio payloads
+    pcm = b""
+    saw_idx = saw_auds = False
+    for cc, ps, sz in _riff_chunks(buf, 12, len(buf)):
+        if cc == b"idx1":
+            saw_idx = True
+        if cc != b"LIST":
+            continue
+        kind = buf[ps:ps + 4]
+        if kind == b"movi":
+            for c2, p2, s2 in _riff_chunks(buf, ps + 4, ps + sz):
+                if c2 == b"01wb":
+                    pcm += buf[p2:p2 + s2]
+        elif kind == b"hdrl":
+            saw_auds = b"auds" in buf[ps:ps + sz]
+    assert saw_idx and saw_auds
+    expect = (np.clip(audio, -1, 1) * 32767).astype(np.int16)
+    got = np.frombuffer(pcm, np.int16)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_write_video_audio_fallback_writes_avi(tmp_path, monkeypatch):
+    """With an audio_path and no ffmpeg binary, write_video produces the
+    muxed .avi next to the silent .mp4 instead of dropping the audio."""
+    import shutil as _shutil
+    from scipy.io import wavfile
+    from fdm_tpu.render.renderer import write_video
+
+    monkeypatch.setattr(_shutil, "which", lambda name: None)
+    sr = 16000
+    wav_path = str(tmp_path / "a.wav")
+    wavfile.write(
+        wav_path, sr,
+        (np.sin(np.arange(sr) * 0.05) * 20000).astype(np.int16),
+    )
+    frames = [np.full((32, 32, 3), i * 20, np.uint8) for i in range(5)]
+    out = str(tmp_path / "clip.mp4")
+    assert write_video(iter(frames), out, fps=25, audio_path=wav_path) == 5
+    avi = str(tmp_path / "clip.avi")
+    assert os.path.exists(out) and os.path.exists(avi)
+    buf = open(avi, "rb").read()
+    assert buf[:4] == b"RIFF" and b"01wb" in buf and b"MJPG" in buf

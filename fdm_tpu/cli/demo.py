@@ -58,6 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--cfg_scale", type=float, default=None)
     parser.add_argument("--flame_model", default=None)
+    parser.add_argument("--render", action="store_true",
+                        help="also render the animation to <output stem>.mp4"
+                             " — with the input audio muxed in (ffmpeg when "
+                             "available, else the dependency-free MJPEG+PCM"
+                             " .avi). One command replaces the reference's "
+                             "demo + render script pair.")
+    parser.add_argument("--render_size", type=int, default=256)
+    parser.add_argument("--faces", default=None,
+                        help=".npy (F, 3) triangle indices for mesh "
+                             "rendering; point splats otherwise")
     return parser
 
 
@@ -156,6 +166,21 @@ def main(argv=None) -> int:
     np.save(args.output, verts)
     print(f"wrote {verts.shape} vertices ({T} frames @ {fps} fps, "
           f"emotion={args.emotion}, sampler={sampler}) to {args.output}")
+
+    if args.render:
+        from fdm_tpu.render.renderer import render_sequence, write_video
+
+        faces = (
+            np.load(args.faces).astype(np.int64) if args.faces else None
+        )
+        video = os.path.splitext(args.output)[0] + ".mp4"
+        rig = "voca" if faces is not None else "ortho"
+        n = write_video(
+            render_sequence(verts, size=args.render_size, faces=faces,
+                            rig=rig),
+            video, fps=fps, audio_path=args.audio_file,
+        )
+        print(f"{video}: {n} frames @ {fps} fps")
     return 0
 
 

@@ -99,6 +99,32 @@ def test_demo_and_render(workdir, stage1_params, stage2_params):
     assert os.path.getsize("videos/gen.mp4") > 0
 
 
+def test_demo_render_muxes_input_audio(workdir, stage1_params,
+                                       stage2_params):
+    """demo --render with a real wav replaces the reference's demo+render
+    script pair in one command: it writes the npy, the mp4, and (no ffmpeg
+    in this image) the audio-muxed MJPEG+PCM .avi from the SAME input
+    audio."""
+    from scipy.io import wavfile
+    from fdm_tpu.cli import demo
+
+    sr = 16000
+    wavfile.write(
+        "demo_in.wav", sr,
+        (np.sin(np.arange(sr) * 0.03) * 15000).astype(np.int16),
+    )
+    assert _run(
+        demo,
+        BASE + ["--stage1", stage1_params, "--stage2", stage2_params,
+                "--audio_file", "demo_in.wav",
+                "--output", "demo_out/gen_av.npy", "--steps", "2",
+                "--render", "--render_size", "48"],
+    ) == 0
+    assert os.path.getsize("demo_out/gen_av.mp4") > 0
+    buf = open("demo_out/gen_av.avi", "rb").read()
+    assert buf[:4] == b"RIFF" and b"MJPG" in buf and b"01wb" in buf
+
+
 def test_demo_emotion_labels_match_training_encoding():
     """The demo's --emotion choices must encode exactly like the MEAD
     training labels: training order for the 7 classes, all-zeros for

@@ -5,6 +5,7 @@
   sample_vqvae        stage-1 round-trip reconstruction (ref samples/sample_*_vqvae.py)
   sample_diffusion    audio -> vertices over a split    (ref samples/sample_diffusion_*.py)
   demo                one wav -> animation .npy         (ref demo/demo_*.py)
+  serve               resident batching HTTP server     (beyond the reference)
   metrics             FVE/LVE/EME/MVE/FDD/diversity     (ref metric/metric.py, computer_metrix.py)
   render              .npy -> .mp4                      (ref render/render*.py)
   preprocess_vocaset  raw VOCASET -> per-sequence files (ref vocaset/process_voca_data.py)
@@ -20,6 +21,7 @@ COMMANDS = (
     "sample_vqvae",
     "sample_diffusion",
     "demo",
+    "serve",
     "metrics",
     "render",
     "preprocess_vocaset",

@@ -1,0 +1,370 @@
+"""Batched HTTP serving for the audio -> 3D-face-animation pipeline.
+
+Production-serving surface beyond the reference's script-per-clip model
+(reference samples/sample_diffusion_*.py and demo/*.py run batch 1, one
+process per clip): a resident server keeps the compiled pipeline warm and
+batches CONCURRENT requests into one device call — the measured-fastest
+path (per-clip RTF 0.0077 at batch 32 bf16 vs 0.0131 single-clip on v5e;
+bench records). Stdlib http.server only; no framework dependency.
+
+  python -m fdm_tpu serve --dataset mead --stage1 s1.msgpack \
+      --stage2 s2.msgpack --port 8061
+
+  POST /animate?emotion=happy&style=3[&sampler=ddim&steps=50][&cfg_scale=2.5]
+      body: RIFF wav bytes (any PCM rate; resampled to the dataset's 16 kHz)
+      -> .npy bytes, (T, in_dim) float32 vertex animation
+      headers: X-Frames, X-Fps, X-Batch-Size (clips sharing the device call)
+  GET /healthz -> JSON service stats
+
+Requests are grouped by (bucketed length, sampler, steps, cfg_scale) —
+XLA programs are shape-specialized, so only same-shape clips share a
+call; batch sizes pad up to power-of-two buckets to bound compile count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import queue
+import tempfile
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class _Pending:
+    wav: np.ndarray                    # float32 mono @ dataset sr
+    emotion: Optional[str]
+    style: int
+    sampler: str
+    steps: Optional[int]
+    cfg_scale: Optional[float]
+    seed: int
+    # filled by _prepare / the worker
+    T: int = 0
+    T_pad: int = 0
+    done: threading.Event = dataclasses.field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    batch_size: int = 0
+    error: Optional[str] = None
+
+
+class AnimationService:
+    """Holds the warm pipeline and a batching worker thread.
+
+    `submit()` blocks until the animation is ready (HTTP handler threads
+    park here); the single worker drains the queue in `batch_window_ms`
+    windows and executes one jitted generate per shape-compatible group.
+    """
+
+    def __init__(self, cfg, stage1: Optional[str] = None,
+                 stage2: Optional[str] = None,
+                 audio_params: Optional[str] = None,
+                 template_file: Optional[str] = None,
+                 flame_model: Optional[str] = None,
+                 seed: int = 0, allow_tiny: bool = False,
+                 max_batch: int = 8, batch_window_ms: float = 30.0):
+        import jax
+        import jax.numpy as jnp
+        from fdm_tpu.cli.common import (
+            AudioFrontend, FlameDecoder, load_params, make_pipeline,
+        )
+
+        self.cfg = cfg
+        self.max_batch = int(max_batch)
+        self.batch_window_s = float(batch_window_ms) / 1000.0
+        self.frontend = AudioFrontend(
+            cfg, audio_params, seed=seed, allow_tiny=allow_tiny
+        )
+        self.ld = make_pipeline(cfg)
+
+        if template_file:
+            template = np.load(template_file).reshape(1, 1, -1)
+        elif cfg.dataset.uses_flame_params:
+            flame = FlameDecoder(cfg, flame_model)
+            template = np.asarray(
+                flame.template(1, cfg.dataset.flame_param_dim)
+            )
+        else:
+            template = np.zeros((1, 1, cfg.vqvae.in_dim), np.float32)
+        self.template = template.astype(np.float32)
+
+        key = jax.random.PRNGKey(seed)
+        T0 = cfg.train.frame_bucket
+        if stage1:
+            self.vq_params = load_params(stage1)
+        else:
+            emo0 = (
+                jnp.eye(cfg.fdm.emotion_classes)[None, 0]
+                if cfg.fdm.emotion_classes else None
+            )
+            self.vq_params = jax.jit(self.ld.vqvae.init)(
+                key, jnp.zeros((1, T0, cfg.vqvae.in_dim)),
+                jnp.asarray(self.template), emo0,
+            )
+        if stage2:
+            self.fdm_params = load_params(stage2)
+        else:
+            L = T0 * cfg.fdm.tokens_per_frame
+            hidden0 = self.frontend(
+                np.zeros((1, int(T0 * cfg.dataset.audio_sr / cfg.dataset.fps)
+                          + 320), np.float32), T0,
+            )
+            emo0 = (
+                jnp.eye(cfg.fdm.emotion_classes)[None, 0]
+                if cfg.fdm.emotion_classes else None
+            )
+            self.fdm_params = jax.jit(self.ld.fdm.init)(
+                jax.random.PRNGKey(seed + 1),
+                jnp.zeros((1, L, cfg.vqvae.zquant_dim)),
+                jnp.zeros((1,), jnp.int32), hidden0,
+                jnp.eye(cfg.fdm.style_classes)[None, 0], emo0,
+            )
+
+        # params stay jit ARGUMENTS (closure capture bakes them into the
+        # program as HLO constants — minutes of compile per shape)
+        def _generate(vq_p, fdm_p, hidden, tmpl, style, emo, k,
+                      sampler, steps, cfg_scale):
+            return self.ld.generate(
+                vq_p, fdm_p, k, hidden, tmpl, style, emo,
+                sampler=sampler, num_steps=steps, cfg_scale=cfg_scale,
+            )
+
+        self._generate = jax.jit(
+            _generate, static_argnames=("sampler", "steps", "cfg_scale")
+        )
+
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "clips_batched": 0,
+                      "errors": 0}
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ---------------- request side ----------------
+
+    def submit(self, wav: np.ndarray, emotion: Optional[str] = None,
+               style: int = 0, sampler: Optional[str] = None,
+               steps: Optional[int] = None,
+               cfg_scale: Optional[float] = None,
+               seed: int = 0, timeout: Optional[float] = None):
+        """Blocking: float32 mono waveform -> (T, in_dim) float32 array.
+
+        Raises RuntimeError on worker-side failure or timeout."""
+        cfg = self.cfg
+        default = "ddpm" if cfg.dataset.name == "mead" else "ddim"
+        req = _Pending(
+            wav=np.asarray(wav, np.float32), emotion=emotion,
+            style=int(style), sampler=sampler or default,
+            steps=steps, cfg_scale=cfg_scale, seed=seed,
+        )
+        self.stats["requests"] += 1
+        self._q.put(req)
+        if not req.done.wait(timeout):
+            raise RuntimeError("animation request timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result, req.batch_size
+
+    # ---------------- worker side ----------------
+
+    def _prepare(self, req: _Pending):
+        from fdm_tpu.audio.features import frames_for_duration, pad_audio
+        from fdm_tpu.data.common import bucket_frames
+
+        cfg = self.cfg
+        sr, fps = cfg.dataset.audio_sr, cfg.dataset.fps
+        wav = pad_audio(req.wav, sr, seconds=1.0)  # reference demo +1 s pad
+        num_frames = frames_for_duration(len(wav), sr, fps)
+        req.T_pad = bucket_frames(
+            num_frames, cfg.train.frame_bucket, cfg.train.max_frames
+        )
+        req.T = min(num_frames, req.T_pad)
+        samples = int(req.T_pad * sr / fps) + 320  # collate conv-hop match
+        out = np.zeros(samples, np.float32)
+        out[: min(len(wav), samples)] = wav[:samples]
+        req.wav = out
+
+    def _conditions(self, reqs):
+        import jax.numpy as jnp
+        from fdm_tpu.data.mead import (
+            EMOTIONS as _MEAD_EMOTIONS, emotion_one_hot,
+        )
+
+        EMOTIONS = tuple(_MEAD_EMOTIONS) + ("neutral",)
+
+        cfg = self.cfg
+        style = np.stack([
+            np.eye(cfg.fdm.style_classes, dtype=np.float32)[
+                r.style % cfg.fdm.style_classes
+            ] for r in reqs
+        ])
+        emotion = None
+        if cfg.fdm.emotion_classes:
+            rows = []
+            for r in reqs:
+                name = r.emotion or "neutral"
+                if cfg.fdm.emotion_classes == len(_MEAD_EMOTIONS):
+                    rows.append(np.asarray(emotion_one_hot(name)))
+                else:  # tiny/smoke class counts
+                    idx = (
+                        EMOTIONS.index(name) if name in EMOTIONS else 0
+                    ) % cfg.fdm.emotion_classes
+                    rows.append(
+                        np.eye(cfg.fdm.emotion_classes, dtype=np.float32)[idx]
+                    )
+            emotion = jnp.asarray(np.stack(rows))
+        return jnp.asarray(style), emotion
+
+    def _run(self):
+        while True:
+            first = self._q.get()
+            batch = [first]
+            deadline = time.monotonic() + self.batch_window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                for req in batch:
+                    self._prepare(req)
+            except Exception as e:  # bad audio etc.: fail those requests
+                for req in batch:
+                    req.error = f"{type(e).__name__}: {e}"
+                    req.done.set()
+                self.stats["errors"] += len(batch)
+                continue
+            groups = {}
+            for req in batch:
+                key = (req.T_pad, req.sampler, req.steps, req.cfg_scale)
+                groups.setdefault(key, []).append(req)
+            for key, reqs in groups.items():
+                self._execute(key, reqs)
+
+    def _execute(self, key, reqs):
+        import jax
+        import jax.numpy as jnp
+
+        T_pad, sampler, steps, cfg_scale = key
+        try:
+            B = len(reqs)
+            # pad the batch to a power-of-two bucket: XLA programs are
+            # shape-specialized, so free-running B would compile per size
+            B_pad = 1
+            while B_pad < B:
+                B_pad *= 2
+            padded = reqs + [reqs[0]] * (B_pad - B)
+            audio = np.stack([r.wav for r in padded])
+            hidden = self.frontend(audio, T_pad)
+            style, emotion = self._conditions(padded)
+            tmpl = jnp.asarray(
+                np.broadcast_to(
+                    self.template, (B_pad,) + self.template.shape[1:]
+                )
+            )
+            out = np.asarray(self._generate(
+                self.vq_params, self.fdm_params, hidden, tmpl, style,
+                emotion, jax.random.PRNGKey(reqs[0].seed),
+                sampler, steps, cfg_scale,
+            ))
+            self.stats["batches"] += 1
+            self.stats["clips_batched"] += B
+            for i, req in enumerate(reqs):
+                req.result = out[i, : req.T]
+                req.batch_size = B
+                req.done.set()
+        except Exception as e:  # noqa: BLE001 — surfaced per request
+            for req in reqs:
+                req.error = f"{type(e).__name__}: {e}"
+                req.done.set()
+            self.stats["errors"] += len(reqs)
+
+
+# ---------------- HTTP layer ----------------
+
+
+def make_handler(service: AnimationService):
+    from http.server import BaseHTTPRequestHandler
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet; stats via /healthz
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path != "/healthz":
+                return self._json(404, {"error": "unknown path"})
+            self._json(200, {"status": "ok", **service.stats})
+
+        def do_POST(self):
+            from fdm_tpu.data.common import read_wav
+
+            if urlparse(self.path).path != "/animate":
+                return self._json(404, {"error": "unknown path"})
+            q = parse_qs(urlparse(self.path).query)
+
+            def arg(name, cast, default=None):
+                return cast(q[name][0]) if name in q else default
+
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if n <= 0:
+                    return self._json(400, {"error": "empty body (want wav)"})
+                raw = self.rfile.read(n)
+                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                    f.write(raw)
+                    f.flush()
+                    wav = read_wav(
+                        f.name, target_sr=service.cfg.dataset.audio_sr
+                    )
+                result, bsz = service.submit(
+                    wav,
+                    emotion=arg("emotion", str),
+                    style=arg("style", int, 0),
+                    sampler=arg("sampler", str),
+                    steps=arg("steps", int),
+                    cfg_scale=arg("cfg_scale", float),
+                    seed=arg("seed", int, 0),
+                )
+            except Exception as e:  # noqa: BLE001 — HTTP boundary
+                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            buf = io.BytesIO()
+            np.save(buf, result)
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Frames", str(result.shape[0]))
+            self.send_header("X-Fps", str(service.cfg.dataset.fps))
+            self.send_header("X-Batch-Size", str(bsz))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def serve_forever(service: AnimationService, host: str, port: int):
+    """Blocking server loop; returns the bound server for tests."""
+    server = make_server(service, host, port)
+    server.serve_forever()
+
+
+def make_server(service: AnimationService, host: str, port: int):
+    from http.server import ThreadingHTTPServer
+
+    return ThreadingHTTPServer((host, port), make_handler(service))

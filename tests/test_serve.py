@@ -1,0 +1,149 @@
+"""The batching HTTP serving front end (fdm_tpu/serve.py).
+
+The reference animates one clip per process; the server keeps the
+compiled pipeline warm and batches concurrent requests into one device
+call. These tests drive the REAL http.server stack on a loopback port
+with a tiny synthetic config: concurrent same-length posts must share a
+batch (X-Batch-Size > 1), mixed lengths must split into shape groups,
+and bad input must fail as a clean HTTP 400, not a hung request.
+"""
+
+import io
+import os
+import sys
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _wav_bytes(seconds: float, sr: int = 16000, freq: float = 300.0) -> bytes:
+    from scipy.io import wavfile
+
+    t = np.arange(int(seconds * sr))
+    pcm = (0.4 * np.sin(2 * np.pi * freq * t / sr) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, pcm)
+    return buf.getvalue()
+
+
+def _post(port: int, body: bytes, query: str = ""):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/animate{query}", data=body, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        arr = np.load(io.BytesIO(resp.read()))
+        return arr, dict(resp.headers)
+
+
+@pytest.fixture(scope="module")
+def server():
+    from fdm_tpu.cli.common import build_config
+    from fdm_tpu.serve import AnimationService, make_server
+
+    class Args:
+        dataset = "mead"
+        synthetic = True
+        tiny = True
+        seed = 0
+        overrides = []
+        data_root = None
+
+    cfg = build_config(Args())
+    service = AnimationService(
+        cfg, allow_tiny=True, max_batch=4, batch_window_ms=400.0
+    )
+    srv = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv.server_address[1], service, cfg
+    srv.shutdown()
+
+
+def test_concurrent_same_length_requests_share_a_batch(server):
+    port, service, cfg = server
+    body = _wav_bytes(0.6)
+    results = {}
+
+    def worker(i):
+        results[i] = _post(
+            port, body, f"?emotion=happy&style={i}&steps=2"
+        )
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert len(results) == 3
+    shapes = set()
+    batch_sizes = []
+    for arr, headers in results.values():
+        assert arr.ndim == 2 and arr.shape[1] == cfg.vqvae.in_dim
+        assert np.isfinite(arr).all()
+        assert int(headers["X-Fps"]) == cfg.dataset.fps
+        assert int(headers["X-Frames"]) == arr.shape[0]
+        shapes.add(arr.shape)
+        batch_sizes.append(int(headers["X-Batch-Size"]))
+    assert len(shapes) == 1  # same audio -> same frame count
+    # the 400 ms window must have merged the concurrent posts
+    assert max(batch_sizes) >= 2
+    assert service.stats["requests"] >= 3
+
+
+def test_mixed_lengths_split_into_shape_groups(server):
+    port, service, cfg = server
+    short, long = _wav_bytes(0.4), _wav_bytes(3.0)
+    results = {}
+
+    def worker(name, body):
+        results[name] = _post(port, body, "?steps=2")
+
+    threads = [
+        threading.Thread(target=worker, args=("s", short)),
+        threading.Thread(target=worker, args=("l", long)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    (s_arr, _), (l_arr, _) = results["s"], results["l"]
+    assert l_arr.shape[0] > s_arr.shape[0]  # lengths preserved per clip
+    assert np.isfinite(l_arr).all() and np.isfinite(s_arr).all()
+
+
+def test_bad_input_is_a_clean_http_error(server):
+    port, _, _ = server
+    import urllib.error
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/animate", data=b"not a wav", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400
+
+    # empty body
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/animate", data=b"", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc2:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc2.value.code == 400
+
+
+def test_healthz_reports_stats(server):
+    port, _, _ = server
+    import json
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/healthz", timeout=30
+    ) as resp:
+        stats = json.loads(resp.read())
+    assert stats["status"] == "ok"
+    assert stats["requests"] >= 3 and stats["batches"] >= 1

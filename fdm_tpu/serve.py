@@ -44,6 +44,9 @@ class _Pending:
     steps: Optional[int]
     cfg_scale: Optional[float]
     seed: int
+    dtype: str = "float32"             # response dtype; float16 halves the
+                                       # device->host payload (cast ON
+                                       # device, before the download)
     # filled by _prepare / the worker
     T: int = 0
     T_pad: int = 0
@@ -150,16 +153,19 @@ class AnimationService:
                style: int = 0, sampler: Optional[str] = None,
                steps: Optional[int] = None,
                cfg_scale: Optional[float] = None,
-               seed: int = 0, timeout: Optional[float] = None):
+               seed: int = 0, dtype: str = "float32",
+               timeout: Optional[float] = None):
         """Blocking: float32 mono waveform -> (T, in_dim) float32 array.
 
         Raises RuntimeError on worker-side failure or timeout."""
         cfg = self.cfg
         default = "ddpm" if cfg.dataset.name == "mead" else "ddim"
+        if dtype not in ("float32", "float16"):
+            raise ValueError(f"dtype must be float32|float16, got {dtype!r}")
         req = _Pending(
             wav=np.asarray(wav, np.float32), emotion=emotion,
             style=int(style), sampler=sampler or default,
-            steps=steps, cfg_scale=cfg_scale, seed=seed,
+            steps=steps, cfg_scale=cfg_scale, seed=seed, dtype=dtype,
         )
         self.stats["requests"] += 1
         self._q.put(req)
@@ -243,7 +249,11 @@ class AnimationService:
                 continue
             groups = {}
             for req in batch:
-                key = (req.T_pad, req.sampler, req.steps, req.cfg_scale)
+                # seed is part of the group key: the sampler draws ONE
+                # (B, L, C) noise stream per device call, so clips with
+                # different seeds must not share it
+                key = (req.T_pad, req.sampler, req.steps, req.cfg_scale,
+                       req.seed, req.dtype)
                 groups.setdefault(key, []).append(req)
             for key, reqs in groups.items():
                 self._execute(key, reqs)
@@ -252,7 +262,7 @@ class AnimationService:
         import jax
         import jax.numpy as jnp
 
-        T_pad, sampler, steps, cfg_scale = key
+        T_pad, sampler, steps, cfg_scale, seed, dtype = key
         try:
             B = len(reqs)
             # pad the batch to a power-of-two bucket: XLA programs are
@@ -269,11 +279,16 @@ class AnimationService:
                     self.template, (B_pad,) + self.template.shape[1:]
                 )
             )
-            out = np.asarray(self._generate(
+            out_dev = self._generate(
                 self.vq_params, self.fdm_params, hidden, tmpl, style,
-                emotion, jax.random.PRNGKey(reqs[0].seed),
+                emotion, jax.random.PRNGKey(seed),
                 sampler, steps, cfg_scale,
-            ))
+            )
+            if dtype == "float16":
+                # cast ON device so the device->host transfer halves too
+                # (a 10 s MEAD clip is 14.5 MB of fp32 vertices per item)
+                out_dev = out_dev.astype(jnp.float16)
+            out = np.asarray(out_dev)
             self.stats["batches"] += 1
             self.stats["clips_batched"] += B
             for i, req in enumerate(reqs):
@@ -332,6 +347,10 @@ def make_handler(service: AnimationService):
                     wav = read_wav(
                         f.name, target_sr=service.cfg.dataset.audio_sr
                     )
+                # fp16 responses: the reference itself round-trips vertices
+                # through fp16 in its loaders (datasets/data_loader.py:
+                # 42-43, quirk Q9), and the cast happens on device so the
+                # accelerator->host payload halves as well
                 result, bsz = service.submit(
                     wav,
                     emotion=arg("emotion", str),
@@ -340,6 +359,7 @@ def make_handler(service: AnimationService):
                     steps=arg("steps", int),
                     cfg_scale=arg("cfg_scale", float),
                     seed=arg("seed", int, 0),
+                    dtype=arg("dtype", str, "float32"),
                 )
             except Exception as e:  # noqa: BLE001 — HTTP boundary
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})

@@ -147,3 +147,24 @@ def test_healthz_reports_stats(server):
         stats = json.loads(resp.read())
     assert stats["status"] == "ok"
     assert stats["requests"] >= 3 and stats["batches"] >= 1
+
+
+def test_dtype_float16_halves_the_payload(server):
+    port, _, cfg = server
+    body = _wav_bytes(0.5)
+    a32, _ = _post(port, body, "?steps=2")
+    a16, _ = _post(port, body, "?steps=2&dtype=float16")
+    assert a16.dtype == np.float16 and a32.dtype == np.float32
+    assert a16.shape == a32.shape
+    np.testing.assert_allclose(
+        a16.astype(np.float32), a32, rtol=0, atol=2e-3
+    )
+
+    import urllib.error
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/animate?dtype=int8", data=body,
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400

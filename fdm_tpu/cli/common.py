@@ -312,6 +312,62 @@ class AudioFrontend:
         return align_hidden_frames(hidden, self.cfg.fdm, num_frames)
 
 
+# ---------------- shared inference-surface helpers ----------------
+# one home for logic the demo CLI and the serving front end must agree on
+# (a copy in each silently diverges — round-3 review finding)
+
+
+def default_sampler(cfg: PipelineConfig) -> str:
+    """Reference defaults: MEAD samples with the full 1000-step ancestral
+    DDPM (diffusion_mead_encoder_decoder.py:663), BIWI/VOCASET with DDIM
+    (samples/sample_diffusion_{biwi,vocaset}.py:72,80)."""
+    return "ddpm" if cfg.dataset.name == "mead" else "ddim"
+
+
+# the TRAINING label set and order (data/mead.py EMOTIONS; reference
+# data_loader_mead.py:44) plus 'neutral', which encodes as the all-zeros
+# vector — a surface-local ordering would silently condition on the wrong
+# class (round-3 demo bug)
+def emotion_labels() -> tuple:
+    from fdm_tpu.data.mead import EMOTIONS
+
+    return tuple(EMOTIONS) + ("neutral",)
+
+
+def encode_emotion_row(cfg: PipelineConfig, name: str) -> "np.ndarray":
+    """One (emotion_classes,) one-hot row for a label name; raises
+    ValueError for unknown labels (validate BEFORE batching — a bad label
+    inside a batched device call would fail every co-batched request)."""
+    from fdm_tpu.data.mead import EMOTIONS as _TRAIN, emotion_one_hot
+
+    labels = emotion_labels()
+    if name not in labels:
+        raise ValueError(
+            f"unknown emotion {name!r}; expected one of {labels}"
+        )
+    if cfg.fdm.emotion_classes == len(_TRAIN):
+        return np.asarray(emotion_one_hot(name), np.float32)
+    # tiny/smoke configs shrink the class count; any stable index
+    idx = labels.index(name) % cfg.fdm.emotion_classes
+    return np.eye(cfg.fdm.emotion_classes, dtype=np.float32)[idx]
+
+
+def resolve_template(cfg: PipelineConfig,
+                     template_file: Optional[str] = None,
+                     flame_model: Optional[str] = None) -> "np.ndarray":
+    """(1, 1, in_dim) vertex template: explicit file > FLAME zero-param
+    mesh (MEAD) > zeros (reference demo_3d_mead.py:96-98 loads
+    FLAME_template.npy; zeros matches the synthetic path)."""
+    if template_file:
+        return np.load(template_file).reshape(1, 1, -1).astype(np.float32)
+    if cfg.dataset.uses_flame_params:
+        flame = FlameDecoder(cfg, flame_model)
+        return np.asarray(
+            flame.template(1, cfg.dataset.flame_param_dim)
+        ).astype(np.float32)
+    return np.zeros((1, 1, cfg.vqvae.in_dim), np.float32)
+
+
 # ---------------- parameter IO ----------------
 
 

@@ -22,21 +22,18 @@ import numpy as np
 
 from fdm_tpu.cli.common import (
     AudioFrontend,
-    FlameDecoder,
     add_common_args,
     build_config,
+    default_sampler,
+    encode_emotion_row,
+    emotion_labels,
     ensure_dir,
     load_params,
     make_pipeline,
+    resolve_template,
 )
 
-# the TRAINING label set and order (data/mead.py EMOTIONS; reference
-# data_loader_mead.py:44) plus 'neutral', which encodes as the all-zeros
-# vector — a demo-local ordering here would silently condition on the
-# wrong class
-from fdm_tpu.data.mead import EMOTIONS as _MEAD_EMOTIONS, emotion_one_hot
-
-EMOTIONS = tuple(_MEAD_EMOTIONS) + ("neutral",)
+EMOTIONS = emotion_labels()
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -77,7 +74,7 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     cfg = build_config(args)
-    sampler = args.sampler or ("ddpm" if cfg.dataset.name == "mead" else "ddim")
+    sampler = args.sampler or default_sampler(cfg)
 
     from fdm_tpu.audio.features import (
         frames_for_duration, normalize_waveform, pad_audio,
@@ -99,25 +96,11 @@ def main(argv=None) -> int:
     T_pad = bucket_frames(num_frames, cfg.train.frame_bucket, cfg.train.max_frames)
     T = min(num_frames, T_pad)
 
-    # template: explicit file > FLAME zero-param mesh (MEAD) > zeros
-    if args.template_file:
-        template = np.load(args.template_file).reshape(1, 1, -1)
-    elif cfg.dataset.uses_flame_params:
-        flame = FlameDecoder(cfg, args.flame_model)
-        template = np.asarray(flame.template(1, cfg.dataset.flame_param_dim))
-    else:
-        template = np.zeros((1, 1, cfg.vqvae.in_dim), np.float32)
+    template = resolve_template(cfg, args.template_file, args.flame_model)
 
     emotion = None
     if cfg.fdm.emotion_classes:
-        if cfg.fdm.emotion_classes == len(_MEAD_EMOTIONS):
-            # training-order one-hot; 'neutral' -> all-zeros (reference
-            # data_loader_mead.py:39-43)
-            emotion = jnp.asarray(emotion_one_hot(args.emotion))[None]
-        else:
-            # tiny/smoke configs shrink the class count; any stable index
-            idx = EMOTIONS.index(args.emotion) % cfg.fdm.emotion_classes
-            emotion = jnp.eye(cfg.fdm.emotion_classes)[None, idx]
+        emotion = jnp.asarray(encode_emotion_row(cfg, args.emotion))[None]
     style = jnp.eye(cfg.fdm.style_classes)[None, args.style % cfg.fdm.style_classes]
 
     frontend = AudioFrontend(
@@ -176,8 +159,10 @@ def main(argv=None) -> int:
         video = os.path.splitext(args.output)[0] + ".mp4"
         rig = "voca" if faces is not None else "ortho"
         n = write_video(
+            # camera preset follows the dataset (BIWI's focal length is 4x
+            # vocaset's, reference render.py:30-37)
             render_sequence(verts, size=args.render_size, faces=faces,
-                            rig=rig),
+                            rig=rig, dataset=cfg.dataset.name),
             video, fps=fps, audio_path=args.audio_file,
         )
         print(f"{video}: {n} frames @ {fps} fps")

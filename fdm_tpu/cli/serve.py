@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="max clips per device call")
     parser.add_argument("--batch_window_ms", type=float, default=30.0,
                         help="how long the batcher waits to fill a batch")
+    parser.add_argument("--request_timeout_s", type=float, default=900.0,
+                        help="per-request wait bound; a wedged backend "
+                             "returns HTTP 503 instead of pinning handler "
+                             "threads forever")
     return parser
 
 
@@ -47,6 +51,7 @@ def main(argv=None) -> int:
         flame_model=args.flame_model, seed=args.seed,
         allow_tiny=args.tiny or args.synthetic,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+        request_timeout_s=args.request_timeout_s,
     )
     server = make_server(service, args.host, args.port)
     print(f"serving {cfg.dataset.name} on http://{args.host}:"

@@ -300,7 +300,14 @@ class LatentDiffusion:
                 return None
             return self.fdm.apply(fdm_params, audio, method="prepare_cross")
 
-        if cfg_scale and cfg_scale > 0.0:
+        # the BRANCH is static (None / non-positive python float => no CFG)
+        # but the scale VALUE may be a traced scalar — serving passes it as
+        # a jit argument so client-chosen guidance strengths don't each
+        # trigger a full sampler recompile
+        cfg_off = cfg_scale is None or (
+            isinstance(cfg_scale, (int, float)) and cfg_scale <= 0.0
+        )
+        if not cfg_off:
             style2 = jnp.concatenate(
                 [style_one_hot, jnp.zeros_like(style_one_hot)], axis=0
             )
@@ -386,7 +393,13 @@ class LatentDiffusion:
             # CFG doubles the EFFECTIVE batch inside the scan body, so it
             # counts toward the gate (the B=1 unroll win was measured at
             # cfg_scale=0).
-            effective_b = B * (2 if cfg_scale and cfg_scale > 0.0 else 1)
+            # same static-branch rule as make_denoise_fn: a traced scale
+            # means CFG is on (serving passes it as a jit argument)
+            cfg_on = not (
+                cfg_scale is None
+                or (isinstance(cfg_scale, (int, float)) and cfg_scale <= 0.0)
+            )
+            effective_b = B * (2 if cfg_on else 1)
             unroll = cfg.diffusion.scan_unroll if effective_b == 1 else 1
             latent = ddpm_sample(
                 self.schedule, denoise_fn, latent_shape, key, num_steps=steps,

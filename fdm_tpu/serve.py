@@ -56,6 +56,11 @@ class _Pending:
     error: Optional[str] = None
 
 
+class RequestTimeout(RuntimeError):
+    """A request waited longer than the service's timeout (e.g. a wedged
+    device backend); mapped to HTTP 503 so clients can retry elsewhere."""
+
+
 class AnimationService:
     """Holds the warm pipeline and a batching worker thread.
 
@@ -70,31 +75,26 @@ class AnimationService:
                  template_file: Optional[str] = None,
                  flame_model: Optional[str] = None,
                  seed: int = 0, allow_tiny: bool = False,
-                 max_batch: int = 8, batch_window_ms: float = 30.0):
+                 max_batch: int = 8, batch_window_ms: float = 30.0,
+                 request_timeout_s: float = 900.0):
         import jax
         import jax.numpy as jnp
         from fdm_tpu.cli.common import (
-            AudioFrontend, FlameDecoder, load_params, make_pipeline,
+            AudioFrontend, load_params, make_pipeline, resolve_template,
         )
 
         self.cfg = cfg
         self.max_batch = int(max_batch)
         self.batch_window_s = float(batch_window_ms) / 1000.0
+        # default bound for HTTP-boundary waits: a wedged device backend
+        # (documented 20-40 min tunnel stalls) must not pin handler threads
+        # and queued requests forever
+        self.request_timeout_s = float(request_timeout_s)
         self.frontend = AudioFrontend(
             cfg, audio_params, seed=seed, allow_tiny=allow_tiny
         )
         self.ld = make_pipeline(cfg)
-
-        if template_file:
-            template = np.load(template_file).reshape(1, 1, -1)
-        elif cfg.dataset.uses_flame_params:
-            flame = FlameDecoder(cfg, flame_model)
-            template = np.asarray(
-                flame.template(1, cfg.dataset.flame_param_dim)
-            )
-        else:
-            template = np.zeros((1, 1, cfg.vqvae.in_dim), np.float32)
-        self.template = template.astype(np.float32)
+        self.template = resolve_template(cfg, template_file, flame_model)
 
         key = jax.random.PRNGKey(seed)
         T0 = cfg.train.frame_bucket
@@ -137,8 +137,11 @@ class AnimationService:
                 sampler=sampler, num_steps=steps, cfg_scale=cfg_scale,
             )
 
+        # cfg_scale stays a TRACED argument (None => static no-CFG variant):
+        # it is client-controlled, and a static float would compile a fresh
+        # sampler program per distinct guidance strength
         self._generate = jax.jit(
-            _generate, static_argnames=("sampler", "steps", "cfg_scale")
+            _generate, static_argnames=("sampler", "steps")
         )
 
         self._q: "queue.Queue[_Pending]" = queue.Queue()
@@ -157,11 +160,32 @@ class AnimationService:
                timeout: Optional[float] = None):
         """Blocking: float32 mono waveform -> (T, in_dim) float32 array.
 
-        Raises RuntimeError on worker-side failure or timeout."""
+        Raises RuntimeError on worker-side failure or timeout.
+
+        Reproducibility semantics: `seed` selects the noise stream of the
+        DEVICE CALL, and the sampler draws one (B, L, C) stream per call —
+        so a request's output is bit-reproducible only for the same batch
+        composition (same co-batched requests, same slot). Same-seed
+        requests never cross-contaminate (seed is part of the batch group
+        key), but a seeded request served solo and the same request served
+        co-batched can differ. For bit-exact outputs run with
+        --max_batch 1 or replay through the demo CLI."""
+        from fdm_tpu.cli.common import default_sampler
+
         cfg = self.cfg
-        default = "ddpm" if cfg.dataset.name == "mead" else "ddim"
+        default = default_sampler(cfg)
         if dtype not in ("float32", "float16"):
             raise ValueError(f"dtype must be float32|float16, got {dtype!r}")
+        if sampler is not None and sampler not in ("ddpm", "ddim"):
+            raise ValueError(f"sampler must be ddpm|ddim, got {sampler!r}")
+        if emotion is not None and self.cfg.fdm.emotion_classes:
+            # validate BEFORE batching: an unknown label raised inside the
+            # batched device call would fail every co-batched request
+            from fdm_tpu.cli.common import encode_emotion_row
+
+            encode_emotion_row(self.cfg, emotion)
+        if cfg_scale is not None and cfg_scale <= 0:
+            cfg_scale = None  # non-positive guidance == no CFG
         req = _Pending(
             wav=np.asarray(wav, np.float32), emotion=emotion,
             style=int(style), sampler=sampler or default,
@@ -170,7 +194,9 @@ class AnimationService:
         self.stats["requests"] += 1
         self._q.put(req)
         if not req.done.wait(timeout):
-            raise RuntimeError("animation request timed out")
+            raise RequestTimeout(
+                f"animation request timed out after {timeout} s"
+            )
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.result, req.batch_size
@@ -196,11 +222,7 @@ class AnimationService:
 
     def _conditions(self, reqs):
         import jax.numpy as jnp
-        from fdm_tpu.data.mead import (
-            EMOTIONS as _MEAD_EMOTIONS, emotion_one_hot,
-        )
-
-        EMOTIONS = tuple(_MEAD_EMOTIONS) + ("neutral",)
+        from fdm_tpu.cli.common import encode_emotion_row
 
         cfg = self.cfg
         style = np.stack([
@@ -210,19 +232,12 @@ class AnimationService:
         ])
         emotion = None
         if cfg.fdm.emotion_classes:
-            rows = []
-            for r in reqs:
-                name = r.emotion or "neutral"
-                if cfg.fdm.emotion_classes == len(_MEAD_EMOTIONS):
-                    rows.append(np.asarray(emotion_one_hot(name)))
-                else:  # tiny/smoke class counts
-                    idx = (
-                        EMOTIONS.index(name) if name in EMOTIONS else 0
-                    ) % cfg.fdm.emotion_classes
-                    rows.append(
-                        np.eye(cfg.fdm.emotion_classes, dtype=np.float32)[idx]
-                    )
-            emotion = jnp.asarray(np.stack(rows))
+            # labels were validated in submit(); encode_emotion_row shares
+            # the training-order one-hot with the demo CLI
+            emotion = jnp.asarray(np.stack([
+                encode_emotion_row(cfg, r.emotion or "neutral")
+                for r in reqs
+            ]))
         return jnp.asarray(style), emotion
 
     def _run(self):
@@ -279,10 +294,13 @@ class AnimationService:
                     self.template, (B_pad,) + self.template.shape[1:]
                 )
             )
+            scale = (
+                None if cfg_scale is None else jnp.float32(cfg_scale)
+            )
             out_dev = self._generate(
                 self.vq_params, self.fdm_params, hidden, tmpl, style,
                 emotion, jax.random.PRNGKey(seed),
-                sampler, steps, cfg_scale,
+                sampler, steps, scale,
             )
             if dtype == "float16":
                 # cast ON device so the device->host transfer halves too
@@ -360,7 +378,10 @@ def make_handler(service: AnimationService):
                     cfg_scale=arg("cfg_scale", float),
                     seed=arg("seed", int, 0),
                     dtype=arg("dtype", str, "float32"),
+                    timeout=service.request_timeout_s,
                 )
+            except RequestTimeout as e:
+                return self._json(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — HTTP boundary
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
             buf = io.BytesIO()

@@ -100,13 +100,16 @@ def test_demo_and_render(workdir, stage1_params, stage2_params):
 
 
 def test_demo_render_muxes_input_audio(workdir, stage1_params,
-                                       stage2_params):
+                                       stage2_params, monkeypatch):
     """demo --render with a real wav replaces the reference's demo+render
-    script pair in one command: it writes the npy, the mp4, and (no ffmpeg
-    in this image) the audio-muxed MJPEG+PCM .avi from the SAME input
+    script pair in one command: it writes the npy, the mp4, and (ffmpeg
+    forced absent) the audio-muxed MJPEG+PCM .avi from the SAME input
     audio."""
+    import shutil as _shutil
     from scipy.io import wavfile
     from fdm_tpu.cli import demo
+
+    monkeypatch.setattr(_shutil, "which", lambda name: None)
 
     sr = 16000
     wavfile.write(

@@ -140,6 +140,39 @@ def test_generate_with_cfg_scale():
     assert jnp.isfinite(out).all()
 
 
+def test_traced_cfg_scale_matches_static():
+    """cfg_scale may be passed as a TRACED jit argument (the serving front
+    end does, so client-chosen guidance strengths share one compiled
+    program). The perturbed head makes cond != uncond, so the traced
+    multiplier must reproduce the static-float path bit-exactly and two
+    scales must genuinely differ."""
+    cfg = tiny_pipeline()
+    ld, vq_params, fdm_params, motion, template, audio, style, emo = (
+        init_pipeline(cfg)
+    )
+    # zero-init output head would make guidance a no-op; perturb every leaf
+    fdm_params = jax.tree.map(
+        lambda a: a + 0.01 * jnp.ones_like(a), fdm_params
+    )
+
+    static = jax.jit(
+        lambda k: ld.generate(
+            vq_params, fdm_params, k, audio, template, style, emo,
+            sampler="ddim", cfg_scale=2.5,
+        )
+    )(jax.random.PRNGKey(0))
+    traced_fn = jax.jit(
+        lambda k, s: ld.generate(
+            vq_params, fdm_params, k, audio, template, style, emo,
+            sampler="ddim", cfg_scale=s,
+        )
+    )
+    traced = traced_fn(jax.random.PRNGKey(0), jnp.float32(2.5))
+    np.testing.assert_array_equal(np.asarray(static), np.asarray(traced))
+    other = traced_fn(jax.random.PRNGKey(0), jnp.float32(1.0))
+    assert not np.allclose(np.asarray(traced), np.asarray(other))
+
+
 def test_generate_no_emotion_variant():
     cfg = tiny_pipeline(emotion=False)
     ld, vq_params, fdm_params, motion, template, audio, style, emo = (

@@ -306,6 +306,97 @@ def bench_train_step(seconds=5.0, repeats=20, dtype="float32",
     return out
 
 
+def bench_stage1_train_step(seconds=5.0, repeats=20, dtype="float32",
+                            batch_size=1):
+    """Full-size MEAD stage-1 EVQ-VAE train step (L1 recon + commitment
+    over the emotion-partitioned codebook). The reference trains this for
+    400 epochs at batch 1 (train/train_mead_vqvae.py:42-49); this is the
+    other half of the two-stage system the stage-2 records don't cover."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdm_tpu.configs import get_config
+    from fdm_tpu.models import LatentDiffusion
+    from fdm_tpu.train import (
+        create_train_state, default_optimizer, make_stage1_step,
+    )
+
+    cfg = get_config("mead")
+    ld = LatentDiffusion.create(
+        cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        with_audio_encoder=False,
+    )
+    B = batch_size
+    T = int(seconds * cfg.dataset.fps)
+    rng = np.random.default_rng(0)
+    motion = (rng.standard_normal((B, T, cfg.vqvae.in_dim)) * 0.01).astype(
+        np.float32
+    )
+    template = np.zeros((B, 1, cfg.vqvae.in_dim), np.float32)
+    emo = np.eye(cfg.fdm.emotion_classes, dtype=np.float32)[
+        np.arange(B) % cfg.fdm.emotion_classes
+    ]
+    vq_params = jax.jit(ld.vqvae.init)(
+        jax.random.PRNGKey(2), motion[:, :8], template, emo
+    )
+    tx = default_optimizer()
+    state = create_train_state(vq_params, tx)
+    step = make_stage1_step(ld, tx)
+    batch = jax.device_put({
+        "motion": motion, "template": template, "emotion_one_hot": emo,
+    })
+
+    state, metrics = step(state, batch)  # compile
+    jax.device_get(metrics["loss"])
+    # this step is a SMALL program (~ms): block_until_ready can return
+    # early on the axon client (CLAUDE.md fact 15 — it once "measured"
+    # 633 steps/s / 219% MFU here), so sync by materializing the LAST
+    # step's loss (device stream is FIFO), and run enough repeats that
+    # the timed region is multi-second
+    repeats = max(repeats, 100)
+    dt = float("inf")
+    for _ in range(2):  # best of two blocks (tunnel stalls)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            state, metrics = step(state, batch)
+        jax.device_get(metrics["loss"])
+        dt = min(dt, (time.perf_counter() - t0) / repeats)
+    steps_per_s = 1.0 / dt
+
+    btag = "b1" if B == 1 else f"b{B}"
+    dtag = _dtag(dtype)
+    out = [{
+        "metric": f"mead_stage1_train_{btag}_t{T}_steps_per_s{dtag}_v5e1",
+        "value": round(steps_per_s, 4),
+        "unit": "steps/s (higher is better)",
+        "vs_baseline": round(steps_per_s / 1.0, 3),
+    }]
+    mfu_name = f"mead_stage1_train_{btag}_mfu{dtag}_v5e1"
+    try:
+        # make_stage1_step returns the jitted fn itself (no .jitted shim)
+        cost = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops <= 0:
+            raise ValueError("cost_analysis returned no flops")
+        mfu = flops * steps_per_s / PEAK_BF16_FLOPS_V5E * 100.0
+        out.append({
+            "metric": mfu_name,
+            "value": round(mfu, 2),
+            "unit": "% of bf16 peak (xla-counted flops)",
+            "vs_baseline": round(mfu / 10.0, 3),
+        })
+    except Exception as e:  # noqa: BLE001 — surfaced, not swallowed
+        out.append({
+            "metric": mfu_name, "value": None,
+            "unit": "% of bf16 peak (xla-counted flops)",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        })
+    return out
+
+
 def emit(record):
     print(json.dumps(record), flush=True)
 
@@ -386,7 +477,7 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="reduced steps/length MEAD-only smoke run")
     ap.add_argument("--only", default=None,
-                    choices=["mead", "biwi", "vocaset", "train",
+                    choices=["mead", "biwi", "vocaset", "stage1", "train",
                              "throughput", "bf16"],
                     help="run a single suite")
     ap.add_argument("--batch_size", type=int, default=8,
@@ -416,8 +507,8 @@ def main():
     suites = (
         [args.only] if args.only
         else (["mead"] if args.quick
-              else ["biwi", "vocaset", "train", "bf16", "throughput",
-                    "mead"])
+              else ["biwi", "vocaset", "stage1", "train", "bf16",
+                    "throughput", "mead"])
     )
     if args.only is None and args.dtype == "bfloat16" and "bf16" in suites:
         # full run in bf16: the train/mead suites already measure bf16, so
@@ -457,6 +548,15 @@ def main():
             ok = run_suite("vocaset_throughput_b8_bf16", lambda: bench_rtf(
                 "vocaset", "ddim", 100, args.seconds, args.repeats,
                 args.fused, "bfloat16", batch_size=8,
+            )) or ok
+        elif suite == "stage1":
+            # the EVQ-VAE half of the two-stage system: reference regime
+            # (batch 1 fp32) + the batched bf16 utilization point
+            ok = run_suite("stage1_b1", lambda: bench_stage1_train_step(
+                repeats=train_reps_b1, dtype=args.dtype,
+            ))
+            ok = run_suite("stage1_b8_bf16", lambda: bench_stage1_train_step(
+                repeats=train_reps_b1, dtype="bfloat16", batch_size=8,
             )) or ok
         elif suite == "train":
             # an explicit --repeats wins; otherwise 20/10 steady-state steps

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.fps <= 0:
+        raise SystemExit(f"--fps must be positive, got {args.fps}")
+    if args.size <= 0:
+        raise SystemExit(f"--size must be positive, got {args.size}")
     if os.path.isdir(args.pred_path):
         files = sorted(
             os.path.join(args.pred_path, f)

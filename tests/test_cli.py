@@ -623,3 +623,19 @@ def test_use_pallas_training_falls_back_to_table(workdir, capsys):
     assert train_diffusion.main(args) == 0
     out = capsys.readouterr().out
     assert "bias-table attention" in out
+
+
+def test_render_rejects_nonpositive_fps_and_size(tmp_path):
+    """--fps 0 would divide by zero in the AVI muxer's avih header and
+    cv2's writer; fail loudly at the argument boundary instead."""
+    from fdm_tpu.cli import render
+
+    pred = str(tmp_path / "clip.npy")
+    np.save(pred, np.zeros((2, 30), np.float32))
+    for argv in (
+        ["--pred_path", pred, "--fps", "0"],
+        ["--pred_path", pred, "--fps", "-3"],
+        ["--pred_path", pred, "--size", "0"],
+    ):
+        with pytest.raises(SystemExit):
+            render.main(argv + ["--output_dir", str(tmp_path / "out")])

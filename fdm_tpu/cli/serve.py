@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="per-request wait bound; a wedged backend "
                              "returns HTTP 503 instead of pinning handler "
                              "threads forever")
+    parser.add_argument("--allowed_steps", default=None,
+                        help="comma list of permitted ?steps values (each "
+                             "distinct value is one compiled sampler "
+                             "program); default 10,25,50,100,250,500,1000 "
+                             "clipped to the schedule")
     return parser
 
 
@@ -52,6 +57,12 @@ def main(argv=None) -> int:
         allow_tiny=args.tiny or args.synthetic,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
         request_timeout_s=args.request_timeout_s,
+        allowed_steps=(
+            (None,) + tuple(
+                int(s) for s in args.allowed_steps.split(",") if s.strip()
+            )
+            if args.allowed_steps else None
+        ),
     )
     server = make_server(service, args.host, args.port)
     print(f"serving {cfg.dataset.name} on http://{args.host}:"

@@ -180,6 +180,14 @@ def write_video(
             writer = cv2.VideoWriter(
                 path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
             )
+            if not writer.isOpened():
+                # e.g. an OpenCV build without the mp4v encoder: without
+                # this check every write() is a silent no-op and the CLI
+                # would report success with no file produced
+                raise RuntimeError(
+                    f"cv2.VideoWriter could not open {path!r} (mp4v) — "
+                    f"missing codec or unwritable path"
+                )
         writer.write(frame[..., ::-1])  # RGB -> BGR
         if need_avi:
             jpegs.extend(_avi.encode_jpeg_frames([frame]))
@@ -196,6 +204,18 @@ def write_video(
         )
         if result.returncode == 0:
             os.replace(muxed, path)
+        else:
+            # surface the failure instead of silently shipping a silent
+            # video, and don't leave the partial temp file behind
+            stderr = (result.stderr or b"").decode(errors="replace")[-500:]
+            print(
+                f"ffmpeg mux failed (rc={result.returncode}); wrote "
+                f"silent video. ffmpeg said:\n{stderr}"
+            )
+            try:
+                os.remove(muxed)
+            except OSError:
+                pass
     elif need_avi and count:
         wav = _load_wav_mono(audio_path)
         if wav is None:

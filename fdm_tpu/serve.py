@@ -47,6 +47,10 @@ class _Pending:
     dtype: str = "float32"             # response dtype; float16 halves the
                                        # device->host payload (cast ON
                                        # device, before the download)
+    deadline: Optional[float] = None   # time.monotonic() bound; the worker
+                                       # drops requests whose client has
+                                       # already timed out (no dead device
+                                       # work after a backend stall)
     # filled by _prepare / the worker
     T: int = 0
     T_pad: int = 0
@@ -76,7 +80,8 @@ class AnimationService:
                  flame_model: Optional[str] = None,
                  seed: int = 0, allow_tiny: bool = False,
                  max_batch: int = 8, batch_window_ms: float = 30.0,
-                 request_timeout_s: float = 900.0):
+                 request_timeout_s: float = 900.0,
+                 allowed_steps: Optional[tuple] = None):
         import jax
         import jax.numpy as jnp
         from fdm_tpu.cli.common import (
@@ -90,11 +95,27 @@ class AnimationService:
         # (documented 20-40 min tunnel stalls) must not pin handler threads
         # and queued requests forever
         self.request_timeout_s = float(request_timeout_s)
+        # XLA specializes the sampler program on `steps`, so a free-running
+        # client value would compile a fresh program per distinct integer
+        # (minutes each on remote-compile backends) — bound it to a small
+        # menu. None in the set stands for "dataset default".
+        if allowed_steps is None:
+            menu = {None, 10, 25, 50, 100, 250, 500, 1000}
+            allowed_steps = tuple(
+                s for s in menu
+                if s is None or s <= cfg.diffusion.timesteps
+            )
+        self.allowed_steps = tuple(allowed_steps)
         self.frontend = AudioFrontend(
             cfg, audio_params, seed=seed, allow_tiny=allow_tiny
         )
         self.ld = make_pipeline(cfg)
         self.template = resolve_template(cfg, template_file, flame_model)
+        # device-resident once: generate() only ever adds the template to
+        # the decoded motion, which broadcasts (1, 1, in_dim) over any B —
+        # re-uploading a per-batch broadcast copy would cost ~10 ms/batch
+        # over slow links and make the program's input shape B-dependent
+        self._template_dev = jax.device_put(self.template)
 
         key = jax.random.PRNGKey(seed)
         T0 = cfg.train.frame_bucket
@@ -131,24 +152,36 @@ class AnimationService:
         # params stay jit ARGUMENTS (closure capture bakes them into the
         # program as HLO constants — minutes of compile per shape)
         def _generate(vq_p, fdm_p, hidden, tmpl, style, emo, k,
-                      sampler, steps, cfg_scale):
+                      sampler, steps, cfg_scale, cfg_off):
+            # cfg_off (STATIC) forces guidance off with python 0.0 — a
+            # traced zero would take the CFG branch and return the
+            # UNCONDITIONAL output instead of the conditional one
             return self.ld.generate(
                 vq_p, fdm_p, k, hidden, tmpl, style, emo,
-                sampler=sampler, num_steps=steps, cfg_scale=cfg_scale,
+                sampler=sampler, num_steps=steps,
+                cfg_scale=0.0 if cfg_off else cfg_scale,
             )
 
-        # cfg_scale stays a TRACED argument (None => static no-CFG variant):
-        # it is client-controlled, and a static float would compile a fresh
+        # cfg_scale stays a TRACED argument (None => server config
+        # default, decided statically by pytree structure): it is
+        # client-controlled, and a static float would compile a fresh
         # sampler program per distinct guidance strength
         self._generate = jax.jit(
-            _generate, static_argnames=("sampler", "steps")
+            _generate, static_argnames=("sampler", "steps", "cfg_off")
         )
 
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "clips_batched": 0,
-                      "errors": 0}
+                      "errors": 0, "expired": 0}
+        # handler threads and the worker both bump counters; += is a
+        # non-atomic read-modify-write across threads
+        self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _count(self, key: str, n: int = 1) -> None:
+        with self._stats_lock:
+            self.stats[key] += n
 
     # ---------------- request side ----------------
 
@@ -178,20 +211,47 @@ class AnimationService:
             raise ValueError(f"dtype must be float32|float16, got {dtype!r}")
         if sampler is not None and sampler not in ("ddpm", "ddim"):
             raise ValueError(f"sampler must be ddpm|ddim, got {sampler!r}")
-        if emotion is not None and self.cfg.fdm.emotion_classes:
+        if steps is not None and steps not in self.allowed_steps:
+            # each distinct steps value is a fresh compiled sampler program
+            # (minutes on remote-compile backends); unbounded client choice
+            # would be a compile-DoS on the single worker
+            raise ValueError(
+                f"steps={steps} not in the served menu "
+                f"{sorted(s for s in self.allowed_steps if s)} "
+                f"(omit for the dataset default)"
+            )
+        if emotion is not None:
+            if not self.cfg.fdm.emotion_classes:
+                # reject rather than silently ignore: this dataset's model
+                # has no emotion conditioning at all
+                raise ValueError(
+                    f"dataset {self.cfg.dataset.name!r} is not "
+                    f"emotion-conditioned; drop the emotion parameter"
+                )
             # validate BEFORE batching: an unknown label raised inside the
             # batched device call would fail every co-batched request
             from fdm_tpu.cli.common import encode_emotion_row
 
             encode_emotion_row(self.cfg, emotion)
         if cfg_scale is not None and cfg_scale <= 0:
-            cfg_scale = None  # non-positive guidance == no CFG
+            # an EXPLICIT non-positive scale means "guidance off" — keep it
+            # as python 0.0 (generate's static no-CFG branch); mapping to
+            # None would silently re-enable the server's config default
+            cfg_scale = 0.0
+        wav = np.asarray(wav, np.float32)
+        if wav.ndim != 1:
+            raise ValueError(
+                f"wav must be 1-D mono float32, got shape {wav.shape}"
+            )
         req = _Pending(
-            wav=np.asarray(wav, np.float32), emotion=emotion,
+            wav=wav, emotion=emotion,
             style=int(style), sampler=sampler or default,
             steps=steps, cfg_scale=cfg_scale, seed=seed, dtype=dtype,
+            deadline=(
+                time.monotonic() + timeout if timeout is not None else None
+            ),
         )
-        self.stats["requests"] += 1
+        self._count("requests")
         self._q.put(req)
         if not req.done.wait(timeout):
             raise RequestTimeout(
@@ -253,17 +313,30 @@ class AnimationService:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            try:
-                for req in batch:
+            live = []
+            for req in batch:
+                # expired clients already got their 503 — don't burn a
+                # device call on work nobody will read
+                if (
+                    req.deadline is not None
+                    and time.monotonic() > req.deadline
+                ):
+                    req.error = "expired before execution"
+                    req.done.set()
+                    self._count("expired")
+                    continue
+                try:
+                    # PER-REQUEST isolation: one bad waveform must not
+                    # fail its co-batched neighbors
                     self._prepare(req)
-            except Exception as e:  # bad audio etc.: fail those requests
-                for req in batch:
+                except Exception as e:  # noqa: BLE001 — per-request
                     req.error = f"{type(e).__name__}: {e}"
                     req.done.set()
-                self.stats["errors"] += len(batch)
-                continue
+                    self._count("errors")
+                    continue
+                live.append(req)
             groups = {}
-            for req in batch:
+            for req in live:
                 # seed is part of the group key: the sampler draws ONE
                 # (B, L, C) noise stream per device call, so clips with
                 # different seeds must not share it
@@ -289,26 +362,26 @@ class AnimationService:
             audio = np.stack([r.wav for r in padded])
             hidden = self.frontend(audio, T_pad)
             style, emotion = self._conditions(padded)
-            tmpl = jnp.asarray(
-                np.broadcast_to(
-                    self.template, (B_pad,) + self.template.shape[1:]
-                )
-            )
+            # (1, 1, in_dim), device-resident since __init__: generate
+            # only adds it to the decoded motion, which broadcasts over B
+            tmpl = self._template_dev
+            cfg_off = cfg_scale is not None and cfg_scale <= 0
             scale = (
-                None if cfg_scale is None else jnp.float32(cfg_scale)
+                jnp.float32(cfg_scale)
+                if (cfg_scale is not None and not cfg_off) else None
             )
             out_dev = self._generate(
                 self.vq_params, self.fdm_params, hidden, tmpl, style,
                 emotion, jax.random.PRNGKey(seed),
-                sampler, steps, scale,
+                sampler, steps, scale, cfg_off,
             )
             if dtype == "float16":
                 # cast ON device so the device->host transfer halves too
                 # (a 10 s MEAD clip is 14.5 MB of fp32 vertices per item)
                 out_dev = out_dev.astype(jnp.float16)
             out = np.asarray(out_dev)
-            self.stats["batches"] += 1
-            self.stats["clips_batched"] += B
+            self._count("batches")
+            self._count("clips_batched", B)
             for i, req in enumerate(reqs):
                 req.result = out[i, : req.T]
                 req.batch_size = B
@@ -317,7 +390,7 @@ class AnimationService:
             for req in reqs:
                 req.error = f"{type(e).__name__}: {e}"
                 req.done.set()
-            self.stats["errors"] += len(reqs)
+            self._count("errors", len(reqs))
 
 
 # ---------------- HTTP layer ----------------

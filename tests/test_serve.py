@@ -54,7 +54,10 @@ def server():
 
     cfg = build_config(Args())
     service = AnimationService(
-        cfg, allow_tiny=True, max_batch=4, batch_window_ms=400.0
+        cfg, allow_tiny=True, max_batch=4, batch_window_ms=400.0,
+        # the tests run 2/3-step samplers for speed; whitelist them (the
+        # default menu bounds client-chosen step counts — compile DoS)
+        allowed_steps=(None, 2, 3),
     )
     srv = make_server(service, "127.0.0.1", 0)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -233,3 +236,38 @@ def test_request_timeout_maps_to_503(server):
     with pytest.raises(RequestTimeout):
         # timeout=0: the batcher cannot possibly finish in time
         service.submit(np.zeros(1600, np.float32), timeout=0.0)
+
+
+def test_steps_menu_bounds_compiles(server):
+    """Client-chosen ?steps values outside the served menu 400 — each
+    distinct value would compile a fresh sampler program (compile DoS)."""
+    import urllib.error
+
+    port, _, _ = server
+    body = _wav_bytes(0.3)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/animate?steps=7", data=body, method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 400
+    assert "menu" in exc.value.read().decode()
+
+
+def test_explicit_cfg_scale_zero_disables_guidance(server):
+    """?cfg_scale=0 means guidance OFF (the conditional single-batch
+    path), not 'fall back to the server default' — and must return 200."""
+    port, service, _ = server
+    body = _wav_bytes(0.3)
+    arr, _ = _post(port, body, "?steps=2&cfg_scale=0")
+    assert np.isfinite(arr).all()
+
+
+def test_bad_waveform_in_submit_is_rejected(server):
+    """A non-1-D waveform fails ITS OWN request at validation time."""
+    _, service, _ = server
+    with pytest.raises(ValueError):
+        service.submit(np.zeros((100, 2), np.float32), timeout=60)
+    with pytest.raises(ValueError):
+        service.submit(np.zeros(1600, np.float32), emotion="happy",
+                       steps=7, timeout=60)

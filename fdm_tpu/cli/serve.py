@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "distinct value is one compiled sampler "
                              "program); default 10,25,50,100,250,500,1000 "
                              "clipped to the schedule")
+    parser.add_argument("--warmup_seconds", default=None,
+                        help="comma list of clip lengths (s) to precompile "
+                             "before accepting traffic (a cold first "
+                             "request otherwise pays the sampler compile)")
+    parser.add_argument("--warmup_batch_sizes", default="1",
+                        help="comma list of batch buckets to precompile "
+                             "per warmup length")
     return parser
 
 
@@ -64,6 +71,16 @@ def main(argv=None) -> int:
             if args.allowed_steps else None
         ),
     )
+    if args.warmup_seconds:
+        seconds = tuple(
+            float(s) for s in args.warmup_seconds.split(",") if s.strip()
+        )
+        batches = tuple(
+            int(b) for b in args.warmup_batch_sizes.split(",") if b.strip()
+        )
+        print(f"warming up {seconds} s x batch {batches} ...", flush=True)
+        service.warmup(seconds, batches)
+        print("warmup done", flush=True)
     server = make_server(service, args.host, args.port)
     print(f"serving {cfg.dataset.name} on http://{args.host}:"
           f"{server.server_address[1]} (max_batch={args.max_batch}, "

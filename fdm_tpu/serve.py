@@ -183,6 +183,29 @@ class AnimationService:
         with self._stats_lock:
             self.stats[key] += n
 
+    def warmup(self, seconds=(10.0,), batch_sizes=(1,)) -> None:
+        """Precompile the serving programs for the given clip lengths and
+        batch buckets BEFORE the first client arrives (a cold first
+        request pays the sampler compile — measured 23-60 s per shape on
+        remote-compile backends; the persistent compilation cache makes
+        later restarts fast). Runs real zero-audio requests through the
+        normal submit path so exactly the production programs compile."""
+        for secs in seconds:
+            n = int(secs * self.cfg.dataset.audio_sr)
+            for b in batch_sizes:
+                threads = [
+                    threading.Thread(
+                        target=lambda: self.submit(
+                            np.zeros(n, np.float32), timeout=None
+                        )
+                    )
+                    for _ in range(b)
+                ]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+
     # ---------------- request side ----------------
 
     def submit(self, wav: np.ndarray, emotion: Optional[str] = None,

@@ -271,3 +271,15 @@ def test_bad_waveform_in_submit_is_rejected(server):
     with pytest.raises(ValueError):
         service.submit(np.zeros(1600, np.float32), emotion="happy",
                        steps=7, timeout=60)
+
+
+def test_warmup_precompiles_serving_shapes(server):
+    """warmup() pushes real zero-audio requests through the batcher so the
+    production programs compile before traffic; batch buckets > 1 warm the
+    batched variant (visible as a grown jit cache and batch stats)."""
+    _, service, _ = server
+    before = service.stats["batches"]
+    errors_before = service.stats["errors"]
+    service.warmup(seconds=(0.4,), batch_sizes=(1, 2))
+    assert service.stats["batches"] >= before + 2
+    assert service.stats["errors"] == errors_before

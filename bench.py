@@ -551,13 +551,21 @@ def main():
             )) or ok
         elif suite == "stage1":
             # the EVQ-VAE half of the two-stage system: reference regime
-            # (batch 1 fp32) + the batched bf16 utilization point
+            # (batch 1 fp32) + batched bf16 utilization points. The codec
+            # step keeps gaining MXU utilization far past the stage-2
+            # plateau: measured bf16 MFU 37.9 (b8) -> 52.4 (b16) -> 60.5
+            # (b32) -> 68.7% (b64, the peak; b128 regresses to 61.7)
             ok = run_suite("stage1_b1", lambda: bench_stage1_train_step(
                 repeats=train_reps_b1, dtype=args.dtype,
             ))
             ok = run_suite("stage1_b8_bf16", lambda: bench_stage1_train_step(
                 repeats=train_reps_b1, dtype="bfloat16", batch_size=8,
             )) or ok
+            ok = run_suite(
+                "stage1_b64_bf16", lambda: bench_stage1_train_step(
+                    repeats=60, dtype="bfloat16", batch_size=64,
+                )
+            ) or ok
         elif suite == "train":
             # an explicit --repeats wins; otherwise 20/10 steady-state steps
             ok = run_suite("train_b1", lambda: bench_train_step(

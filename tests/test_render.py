@@ -504,3 +504,40 @@ def test_write_video_audio_fallback_writes_avi(tmp_path, monkeypatch):
     assert os.path.exists(out) and os.path.exists(avi)
     buf = open(avi, "rb").read()
     assert buf[:4] == b"RIFF" and b"01wb" in buf and b"MJPG" in buf
+
+
+import pytest
+
+
+@pytest.mark.parametrize("w,h,n,audio_len", [
+    (33, 17, 1, 0),        # odd dims, single frame, no audio
+    (64, 48, 3, 100),      # audio much shorter than one frame span
+    (31, 31, 7, 16000),    # odd square, audio longer than the video
+])
+def test_avi_writer_edge_shapes(tmp_path, w, h, n, audio_len):
+    """Odd dimensions, single frames, and degenerate audio lengths must
+    still produce a cv2-readable AVI with the right frame count."""
+    import cv2
+    from fdm_tpu.render.avi import encode_jpeg_frames, write_avi_mjpeg
+
+    rng = np.random.RandomState(0)
+    frames = [(rng.rand(h, w, 3) * 255).astype(np.uint8) for _ in range(n)]
+    audio = (
+        (np.sin(np.arange(audio_len) * 0.1) * 0.5).astype(np.float32)
+        if audio_len else None
+    )
+    path = str(tmp_path / "edge.avi")
+    assert write_avi_mjpeg(
+        path, encode_jpeg_frames(frames), 25, (w, h), audio=audio
+    ) == n
+    cap = cv2.VideoCapture(path)
+    assert cap.isOpened()
+    count = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        assert frame.shape == (h, w, 3)
+        count += 1
+    assert count == n
+    cap.release()

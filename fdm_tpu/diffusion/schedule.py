@@ -52,8 +52,15 @@ def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
 
 
 def make_schedule(timesteps: int = 1000, s: float = 0.008) -> DiffusionSchedule:
-    """Build the full schedule pytree (float32 on device, like the reference
-    register_buffer cast at diffusion_mead_encoder_decoder.py:577)."""
+    """Build the full schedule pytree (float32, like the reference
+    register_buffer cast at diffusion_mead_encoder_decoder.py:577).
+
+    The buffers are HOST numpy on purpose: they are closure constants of
+    every sampler/loss trace, and jit embeds host arrays directly. Device
+    arrays here would make each TRACE fetch ~12 buffers back over the
+    backend link — a wedged remote backend then crashes the trace with
+    FAILED_PRECONDITION inside the MLIR constant handler (observed on the
+    BIWI sampling CLI) instead of merely delaying execution."""
     betas = cosine_beta_schedule(timesteps, s)
     alphas = 1.0 - betas
     alphas_cumprod = np.cumprod(alphas, axis=0)
@@ -63,7 +70,7 @@ def make_schedule(timesteps: int = 1000, s: float = 0.008) -> DiffusionSchedule:
         betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
     )
 
-    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    f32 = lambda a: np.asarray(a, dtype=np.float32)
     return DiffusionSchedule(
         betas=f32(betas),
         alphas_cumprod=f32(alphas_cumprod),
@@ -91,5 +98,7 @@ def extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
 
     `t` is (B,) int32; the result is (B, 1, ..., 1) with `ndim` axes.
     """
-    out = a[t]
+    # the schedule buffers are host numpy (see make_schedule); jnp.asarray
+    # embeds them as program constants and allows tracer indexing
+    out = jnp.asarray(a)[t]
     return out.reshape(out.shape[0], *((1,) * (ndim - 1)))

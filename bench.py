@@ -157,13 +157,22 @@ def bench_rtf(dataset, sampler, steps, seconds, repeats, fused, dtype,
     generate = build_generate(
         dataset, sampler, steps, seconds, fused, dtype, batch_size
     )
+    # sync by MATERIALIZING one output scalar, never block_until_ready:
+    # under a degraded tunnel the axon client's block can return early even
+    # on ~30 ms programs (observed: a DDPM-50 clip "measured" 1.2 ms by
+    # block vs a reproducible 31 ms by device_get — a 17x fake speedup that
+    # would have landed in the artifact of record). The device stream is
+    # FIFO, so fetching the last result bounds all prior work.
+    def _sync(o):
+        return jax.device_get(o.ravel()[0])
+
     out = generate(jax.random.PRNGKey(0))  # compile + warmup
-    out.block_until_ready()
+    _sync(out)
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
         out = generate(jax.random.PRNGKey(i + 1))
-        out.block_until_ready()
+        _sync(out)
         times.append(time.perf_counter() - t0)
     rtf = min(times) / (seconds * batch_size)
     tag = f"_b{batch_size}_per_clip" if batch_size > 1 else ""
@@ -246,11 +255,13 @@ def bench_train_step(seconds=5.0, repeats=20, dtype="float32",
     })
 
     state, metrics = step(state, batch, jax.random.PRNGKey(5))  # compile
-    jax.block_until_ready(metrics)
+    jax.device_get(metrics["loss"])
     # best of two timed blocks: the axon tunnel occasionally stalls for
     # tens of ms mid-block (a one-off b8 suite measured 7.5 steps/s where
     # back-to-back probes reproduce 10.0x2); the fastest block is the
-    # machine's capability, per standard latency-measurement practice
+    # machine's capability, per standard latency-measurement practice.
+    # Sync by materializing the last step's loss, never block_until_ready
+    # (under a degraded tunnel the block can return early — see bench_rtf)
     dt = float("inf")
     for block in range(2):
         t0 = time.perf_counter()
@@ -258,7 +269,7 @@ def bench_train_step(seconds=5.0, repeats=20, dtype="float32",
             state, metrics = step(
                 state, batch, jax.random.PRNGKey(6 + block * repeats + i)
             )
-        jax.block_until_ready(metrics)
+        jax.device_get(metrics["loss"])
         dt = min(dt, (time.perf_counter() - t0) / repeats)
     steps_per_s = 1.0 / dt
 

@@ -359,12 +359,10 @@ def bench_stage1_train_step(seconds=5.0, repeats=20, dtype="float32",
 
     state, metrics = step(state, batch)  # compile
     jax.device_get(metrics["loss"])
-    # this step is a SMALL program (~ms): block_until_ready can return
-    # early on the axon client (CLAUDE.md fact 15 — it once "measured"
-    # 633 steps/s / 219% MFU here), so sync by materializing the LAST
-    # step's loss (device stream is FIFO), and run enough repeats that
-    # the timed region is multi-second
-    repeats = max(repeats, 100)
+    # this step is a SMALL program (~ms): sync by materializing the LAST
+    # step's loss (device stream is FIFO; block_until_ready once
+    # "measured" 633 steps/s / 219% MFU here) — callers size `repeats`
+    # so the timed region is comfortably sub-second-to-seconds
     dt = float("inf")
     for _ in range(2):  # best of two blocks (tunnel stalls)
         t0 = time.perf_counter()
@@ -566,11 +564,18 @@ def main():
             # step keeps gaining MXU utilization far past the stage-2
             # plateau: measured bf16 MFU 37.9 (b8) -> 52.4 (b16) -> 60.5
             # (b32) -> 68.7% (b64, the peak; b128 regresses to 61.7)
+            # the codec step is milliseconds; floor the repeats so the
+            # timed region is long enough to trust (an explicit tiny
+            # --repeats in --quick mode still shrinks it knowingly)
+            s1_reps = (
+                explicit_repeats
+                or (train_reps_b1 if args.quick else max(train_reps_b1, 100))
+            )
             ok = run_suite("stage1_b1", lambda: bench_stage1_train_step(
-                repeats=train_reps_b1, dtype=args.dtype,
+                repeats=s1_reps, dtype=args.dtype,
             ))
             ok = run_suite("stage1_b8_bf16", lambda: bench_stage1_train_step(
-                repeats=train_reps_b1, dtype="bfloat16", batch_size=8,
+                repeats=s1_reps, dtype="bfloat16", batch_size=8,
             )) or ok
             ok = run_suite(
                 "stage1_b64_bf16", lambda: bench_stage1_train_step(

@@ -188,23 +188,41 @@ class AnimationService:
         batch buckets BEFORE the first client arrives (a cold first
         request pays the sampler compile — measured 23-60 s per shape on
         remote-compile backends; the persistent compilation cache makes
-        later restarts fast). Runs real zero-audio requests through the
-        normal submit path so exactly the production programs compile."""
+        later restarts fast).
+
+        Builds the batches DIRECTLY (bypassing the queue) so the intended
+        (length-bucket, batch-bucket) program compiles deterministically —
+        funneling concurrent submits through the live batch window was a
+        timing race that could silently warm only B=1 — and RAISES on any
+        failure instead of reporting success over swallowed errors."""
+        from fdm_tpu.cli.common import default_sampler
+
+        sampler = default_sampler(self.cfg)
         for secs in seconds:
             n = int(secs * self.cfg.dataset.audio_sr)
             for b in batch_sizes:
-                threads = [
-                    threading.Thread(
-                        target=lambda: self.submit(
-                            np.zeros(n, np.float32), timeout=None
-                        )
+                reqs = [
+                    _Pending(
+                        wav=np.zeros(n, np.float32), emotion=None,
+                        style=0, sampler=sampler, steps=None,
+                        cfg_scale=None, seed=0,
                     )
                     for _ in range(b)
                 ]
-                for t in threads:
-                    t.start()
-                for t in threads:
-                    t.join()
+                for req in reqs:
+                    self._prepare(req)
+                key = (reqs[0].T_pad, sampler, None, None, 0, "float32")
+                self._execute(key, reqs)
+                errors = [r.error for r in reqs if r.error is not None]
+                if errors:
+                    raise RuntimeError(
+                        f"warmup failed at {secs} s x batch {b}: {errors[0]}"
+                    )
+                if reqs[0].batch_size != b:
+                    raise RuntimeError(
+                        f"warmup batch {b} executed as batch "
+                        f"{reqs[0].batch_size}"
+                    )
 
     # ---------------- request side ----------------
 

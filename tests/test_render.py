@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from fdm_tpu.render import (
     project_orthographic,
@@ -504,9 +505,6 @@ def test_write_video_audio_fallback_writes_avi(tmp_path, monkeypatch):
     assert os.path.exists(out) and os.path.exists(avi)
     buf = open(avi, "rb").read()
     assert buf[:4] == b"RIFF" and b"01wb" in buf and b"MJPG" in buf
-
-
-import pytest
 
 
 @pytest.mark.parametrize("w,h,n,audio_len", [

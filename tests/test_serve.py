@@ -278,8 +278,13 @@ def test_warmup_precompiles_serving_shapes(server):
     production programs compile before traffic; batch buckets > 1 warm the
     batched variant (visible as a grown jit cache and batch stats)."""
     _, service, _ = server
-    before = service.stats["batches"]
+    before_batches = service.stats["batches"]
+    before_clips = service.stats["clips_batched"]
     errors_before = service.stats["errors"]
     service.warmup(seconds=(0.4,), batch_sizes=(1, 2))
-    assert service.stats["batches"] >= before + 2
+    # exactly one device call per bucket, and the b=2 bucket really ran
+    # as ONE batch of two clips (not two singles — the old threaded
+    # warmup could silently race into B=1)
+    assert service.stats["batches"] == before_batches + 2
+    assert service.stats["clips_batched"] == before_clips + 3
     assert service.stats["errors"] == errors_before

@@ -68,6 +68,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
         help="run on generated shape-faithful data (no dataset needed)",
     )
     parser.add_argument(
+        "--synthetic_mode", choices=["noise", "correlated"], default="noise",
+        help="synthetic data flavor: iid noise (plumbing checks) or "
+        "'correlated' — motion is a deterministic function of a speech-like "
+        "audio envelope, so training can demonstrably LEARN the "
+        "audio->motion correspondence (matched vs mismatched-audio eval)",
+    )
+    parser.add_argument(
         "--tiny", action="store_true",
         help="shrink every model to smoke-test size (implies fast compile)",
     )
@@ -165,6 +172,7 @@ def load_splits(cfg: PipelineConfig, args, read_audio: bool = True):
             max_frames=32 if args.tiny else 120,
             seed=args.seed,
             with_audio=read_audio,
+            mode=getattr(args, "synthetic_mode", "noise"),
         )
     from fdm_tpu.data import load_biwi, load_mead, load_vocaset
 

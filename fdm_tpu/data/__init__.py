@@ -9,7 +9,11 @@ from fdm_tpu.data.common import (
 from fdm_tpu.data.vocaset import load_vocaset
 from fdm_tpu.data.biwi import load_biwi
 from fdm_tpu.data.mead import load_mead
-from fdm_tpu.data.synthetic import synthetic_splits
+from fdm_tpu.data.synthetic import (
+    envelope_to_motion,
+    frame_rms_envelope,
+    synthetic_splits,
+)
 
 __all__ = [
     "SequenceRecord",
@@ -22,4 +26,6 @@ __all__ = [
     "load_biwi",
     "load_mead",
     "synthetic_splits",
+    "envelope_to_motion",
+    "frame_rms_envelope",
 ]

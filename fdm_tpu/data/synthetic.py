@@ -1,13 +1,132 @@
 """Synthetic dataset generation: shape-faithful random records for any
 pipeline config — used by tests, CI smoke runs, and `--synthetic` CLI modes
-so every entry point runs end-to-end without the (license-gated) datasets."""
+so every entry point runs end-to-end without the (license-gated) datasets.
+
+Two modes:
+
+- ``noise`` (default): iid Gaussian motion and audio. Validates shapes and
+  plumbing; by construction nothing audio->motion is learnable, so
+  convergence runs on it only exercise the pipeline.
+- ``correlated``: motion is a DETERMINISTIC function of the audio — a
+  speech-like amplitude envelope drives a per-style articulation direction
+  (plus an envelope-velocity direction and a constant emotion offset), the
+  same local-to-global structure the real datasets carry (jaw/lip motion
+  tracks acoustic energy). Because ``envelope_to_motion(frame_rms_envelope
+  (audio)) == motion`` exactly, ground truth is recomputable from ANY audio
+  clip, which gives a matched-vs-mismatched control: a model that actually
+  learned the audio->motion correspondence scores far better against its own
+  clip's map than against another clip's. This is the strongest learning
+  evidence available without the license-gated datasets (PARITY.md "Known
+  gaps").
+"""
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
 from fdm_tpu.configs import PipelineConfig
 from fdm_tpu.data.common import DataSplits, SequenceRecord
+
+# fixed global seed for the audio->motion map so train/eval/control all see
+# the SAME map (it is part of the synthetic task definition, not the data)
+_MAP_SEED = 20260818
+
+
+def frame_rms_envelope(
+    audio: np.ndarray, num_frames: int, fps: int, sr: int
+) -> np.ndarray:
+    """Per-video-frame RMS energy of a waveform, peak-normalized to [0, 1].
+
+    The frame k window is samples [floor(k*sr/fps), floor((k+1)*sr/fps)) —
+    computable from the audio alone, so the correlated ground-truth motion
+    can be recomputed for any clip (matched or control)."""
+    bounds = (np.arange(num_frames + 1, dtype=np.float64) * sr / fps)
+    bounds = bounds.astype(np.int64)
+    sq = np.concatenate([[0.0], np.cumsum(audio.astype(np.float64) ** 2)])
+    n = np.maximum(bounds[1:] - bounds[:-1], 1)
+    lo = np.minimum(bounds[:-1], len(audio))
+    hi = np.minimum(bounds[1:], len(audio))
+    env = np.sqrt(np.maximum(sq[hi] - sq[lo], 0.0) / n)
+    peak = env.max()
+    if peak > 0:
+        env = env / peak
+    return env.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _motion_basis(dim: int, style_classes: int, emotion_classes: int):
+    """Fixed articulation directions for the audio->motion map: one primary
+    (envelope-tracking) and one secondary (envelope-velocity) unit direction
+    per style, plus a constant offset per emotion."""
+    g = np.random.RandomState(_MAP_SEED)
+
+    def unit_rows(n):
+        d = g.randn(n, dim)
+        return (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(
+            np.float32
+        )
+
+    # magnitudes sized like real articulation (jaw sweep ~0.1 in FLAME
+    # param / vertex-displacement units) and comfortably above the codec's
+    # incompressible-noise floor so reconstruction quality is measurable
+    primary = unit_rows(style_classes) * 0.1
+    velocity = unit_rows(style_classes) * 0.03
+    emotion = (
+        unit_rows(emotion_classes) * 0.03
+        if emotion_classes else np.zeros((0, dim), np.float32)
+    )
+    return primary, velocity, emotion
+
+
+def envelope_to_motion(
+    env: np.ndarray,
+    style_one_hot: np.ndarray,
+    emotion_one_hot,
+    config: PipelineConfig,
+) -> np.ndarray:
+    """The deterministic audio->motion map of the correlated synthetic task:
+    motion[t] = env[t]*primary_dir(style) + denv[t]*velocity_dir(style)
+    + emotion_offset. Applies in FLAME-param space for MEAD and vertex
+    space otherwise (same spaces the real loaders feed)."""
+    ds = config.dataset
+    dim = ds.flame_param_dim if ds.uses_flame_params else ds.in_dim
+    primary, velocity, emotion = _motion_basis(
+        dim, ds.style_classes, ds.emotion_classes
+    )
+    s = int(np.argmax(style_one_hot))
+    env = env.astype(np.float32)
+    denv = np.gradient(env).astype(np.float32)
+    motion = np.outer(env, primary[s]) + np.outer(denv, velocity[s])
+    if ds.emotion_classes and emotion_one_hot is not None:
+        motion = motion + emotion[int(np.argmax(emotion_one_hot))]
+    return motion.astype(np.float32)
+
+
+def _speech_like_audio(
+    rng: np.random.RandomState, num_frames: int, fps: int, sr: int
+) -> np.ndarray:
+    """A waveform with speech-like syllable-rate (≈3 Hz) energy bumps over
+    a harmonic+noise carrier — enough temporal structure for an encoder to
+    recover the envelope, nothing more."""
+    dur = num_frames / fps
+    n = int(dur * sr)
+    t = np.arange(n) / sr
+    env = np.zeros(n)
+    for _ in range(max(2, int(dur * 3))):
+        center = rng.uniform(0, dur)
+        width = rng.uniform(0.06, 0.18)
+        amp = rng.uniform(0.3, 1.0)
+        env += amp * np.exp(-0.5 * ((t - center) / width) ** 2)
+    env = np.clip(env, 0.0, 1.0)
+    f0 = rng.uniform(100.0, 160.0)
+    carrier = sum(
+        (0.6 ** k) * np.sin(2 * np.pi * f0 * (k + 1) * t + rng.uniform(0, 6.28))
+        for k in range(3)
+    )
+    carrier = carrier + 0.3 * rng.randn(n)
+    return (0.15 * env * carrier).astype(np.float32)
 
 
 def synthetic_splits(
@@ -18,7 +137,10 @@ def synthetic_splits(
     max_frames: int = 120,
     seed: int = 0,
     with_audio: bool = True,
+    mode: str = "noise",
 ) -> DataSplits:
+    if mode not in ("noise", "correlated"):
+        raise ValueError(f"unknown synthetic mode {mode!r}")
     rng = np.random.RandomState(seed)
     ds = config.dataset
     dim = ds.flame_param_dim if ds.uses_flame_params else ds.in_dim
@@ -44,6 +166,13 @@ def synthetic_splits(
             (rng.randn(int(T / ds.fps * ds.audio_sr)) * 0.1).astype(np.float32)
             if with_audio else None
         )
+        if mode == "correlated":
+            # audio is generated regardless of with_audio (the motion is a
+            # function of it); it is only attached when requested
+            wav = _speech_like_audio(rng, T, ds.fps, ds.audio_sr)
+            env = frame_rms_envelope(wav, T, ds.fps, ds.audio_sr)
+            motion = envelope_to_motion(env, style, emotion, config)
+            audio = wav if with_audio else None
         return SequenceRecord(
             name=f"synthetic_{tag}_{i:03d}",
             motion=motion,

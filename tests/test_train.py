@@ -132,6 +132,45 @@ def test_trainer_epoch_and_checkpoint(tmp_path):
     ckpt.close()
 
 
+def test_async_checkpoint_snapshot_survives_donation(tmp_path):
+    """Async save snapshots the state at save() time: the trainer's donated
+    step may immediately invalidate the original buffers and keep training,
+    yet restore() must return the values as of the save."""
+    from fdm_tpu.utils.checkpoint import Checkpointer
+
+    cfg = tiny_pipeline()
+    ld, vq_params, *_ = init_pipeline(cfg)
+    tx = default_optimizer(1e-3)
+    state = create_train_state(vq_params, tx)
+    step = make_stage1_step(ld, tx)   # donates its input state
+    batch = _stage1_batch(cfg)
+
+    state, _ = step(state, batch)
+    state, _ = step(state, batch)    # zero-init head: move twice
+    saved_leaf = np.asarray(
+        jax.tree_util.tree_leaves(state.params)[0]
+    ).copy()
+    saved_step = int(state.step)
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"), async_save=True)
+    ckpt.save(saved_step, state)
+    # keep training right away: donation invalidates the pre-save buffers
+    # while the background thread is still writing
+    for _ in range(3):
+        state, _ = step(state, batch)
+    assert int(state.step) == saved_step + 3
+
+    restored = ckpt.restore(target=state)   # joins the in-flight save
+    assert int(restored.step) == saved_step
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]), saved_leaf
+    )
+    # a second save over the first (join-then-save path) also works
+    ckpt.save(int(state.step), state)
+    assert ckpt.latest_step() == int(state.step)
+    ckpt.close()
+
+
 def test_ema_and_grad_accumulation():
     import optax
 

@@ -69,7 +69,15 @@ class Checkpointer:
     # ---------------- public API ----------------
 
     def save(self, step: int, state: Any):
-        if not self.async_save:
+        # the async path device_gets the snapshot on this host, which needs
+        # every shard addressable; under true multi-host sharding fall back
+        # to the synchronous orbax path (which handles distributed arrays)
+        multihost = any(
+            isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+            for leaf in jax.tree_util.tree_leaves(state)
+        )
+        if not self.async_save or multihost:
+            self._join()
             self.manager.save(step, args=ocp.args.StandardSave(state))
             self.manager.wait_until_finished()
             return

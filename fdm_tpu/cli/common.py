@@ -396,6 +396,43 @@ def ensure_dir(path: str) -> str:
     return path
 
 
+def save_progress(out_dir: str, epoch: int, step: int) -> None:
+    """Record the last completed epoch (atomically) so --resume can map the
+    restored global step back to an epoch number. Orbax checkpoints carry
+    only the step; epoch counts per epoch vary with bucketed batching, so
+    the mapping is recorded rather than derived."""
+    import json
+
+    tmp = os.path.join(out_dir, "progress.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"epoch": int(epoch), "step": int(step)}, f)
+    os.replace(tmp, os.path.join(out_dir, "progress.json"))
+
+
+def resume_start_epoch(out_dir: str, restored_step: int) -> int:
+    """Epoch count already completed at ``restored_step``.
+
+    With --resume, --epochs is the TOTAL budget (the run continues toward
+    it), not "N more": the loop starts at this value + 1. Exact when the
+    restored checkpoint coincides with the last recorded epoch; for an
+    older checkpoint the epoch is interpolated from the recorded
+    steps-per-epoch average (exact for constant-size epochs). Returns 0
+    (old behavior: run the full budget) when no progress file exists."""
+    import json
+
+    path = os.path.join(out_dir, "progress.json")
+    if restored_step <= 0 or not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        prog = json.load(f)
+    if prog.get("epoch", 0) <= 0 or prog.get("step", 0) <= 0:
+        return 0
+    if restored_step >= prog["step"]:
+        return int(prog["epoch"])
+    per_epoch = prog["step"] / prog["epoch"]
+    return max(0, int(round(restored_step / per_epoch)))
+
+
 def choose_mesh(batch_size: int):
     """Data-parallel mesh over all visible devices when the global batch
     divides evenly; otherwise single-device (the reference is always

@@ -26,18 +26,24 @@ from fdm_tpu.cli.common import (
     ensure_dir,
     load_splits,
     make_pipeline,
+    resume_start_epoch,
     save_params,
+    save_progress,
 )
 
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_args(parser)
-    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="total epoch budget; with --resume the run "
+                             "continues toward this total (not N more)")
     parser.add_argument("--output_dir", default="checkpoints/stage1")
     parser.add_argument("--flame_model", default=None,
                         help="FLAME generic_model.pkl (MEAD; synthetic if unset)")
-    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore the latest orbax checkpoint and "
+                             "continue toward --epochs")
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="EMA of params in the jitted step (0 = off)")
     parser.add_argument("--save_ema", action="store_true",
@@ -118,9 +124,12 @@ def main(argv=None) -> int:
 
     out_dir = ensure_dir(args.output_dir)
     ckpt = Checkpointer(out_dir + "/orbax")
+    start_epoch = 0
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(target=state)
-        print(f"resumed from step {int(state.step)}")
+        start_epoch = resume_start_epoch(out_dir, int(state.step))
+        print(f"resumed from step {int(state.step)} "
+              f"(epoch {start_epoch}/{epochs})")
     logger = MetricLogger(cfg.train.log_dir, f"{cfg.dataset.name}_vqvae")
     trainer = Trainer(
         step, state, mesh=mesh, logger=logger, checkpointer=ckpt,
@@ -129,12 +138,13 @@ def main(argv=None) -> int:
         rng=jax.random.PRNGKey(cfg.train.seed),
     )
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch + 1, epochs + 1):
         data = (
             decode_motion(cfg, b, flame)
             for b in _batches(splits.train, cfg, args, epoch_seed=epoch)
         )
         means = trainer.run_epoch(data, epoch)
+        save_progress(out_dir, epoch, int(trainer.state.step))
         print(f"epoch {epoch}: loss={means.get('loss', float('nan')):.5f} "
               f"recon={means.get('recon_loss', float('nan')):.5f} "
               f"steps/s={means['steps_per_sec']:.2f}")

@@ -334,8 +334,8 @@ def test_convert_weights_fdm_strips_diffusion_prefix(workdir):
 
 def test_train_resume_continues_from_checkpoint(workdir):
     """--resume restores params+opt+step from the orbax checkpoint and keeps
-    counting (the original restores only model weights; optimizer restore is
-    commented out there)."""
+    counting toward the TOTAL --epochs budget (the original restores only
+    model weights; optimizer restore is commented out there)."""
     import json
 
     from fdm_tpu.cli import train_vqvae
@@ -343,9 +343,10 @@ def test_train_resume_continues_from_checkpoint(workdir):
     args = BASE + ["--output_dir", "resume_t", "--epochs", "2",
                    "--set", "train.checkpoint_every=1"]
     assert train_vqvae.main(args) == 0
-    # 8 train records / batch 1 -> 8 steps per epoch; 2 epochs = 16 steps
+    # 8 train records / batch 1 -> 8 steps per epoch; 2 epochs = 16 steps.
+    # Resuming with a total budget of 3 runs exactly ONE more epoch.
     assert train_vqvae.main(
-        args + ["--resume", "--epochs", "1"]
+        args + ["--resume", "--epochs", "3"]
     ) == 0
 
     steps = [
@@ -355,6 +356,33 @@ def test_train_resume_continues_from_checkpoint(workdir):
     ]
     # the resumed run continues past the first run's 16 steps
     assert max(steps) == 24, sorted(set(steps))[-5:]
+    prog = json.load(open("resume_t/progress.json"))
+    assert prog == {"epoch": 3, "step": 24}
+
+    # a budget the run has already met trains zero further steps but still
+    # exports the final params
+    assert train_vqvae.main(args + ["--resume", "--epochs", "3"]) == 0
+    steps = [
+        json.loads(l)["step"]
+        for l in open("runs/vocaset_vqvae.jsonl")
+        if json.loads(l).get("kind") == "step"
+    ]
+    assert max(steps) == 24
+
+
+def test_resume_start_epoch_mapping(tmp_path):
+    """Step->epoch mapping: exact at the recorded epoch, proportional for an
+    older checkpoint, 0 without a progress file (legacy runs keep the old
+    run-the-full-budget behavior)."""
+    from fdm_tpu.cli.common import resume_start_epoch, save_progress
+
+    d = str(tmp_path)
+    assert resume_start_epoch(d, 16) == 0          # no progress.json
+    save_progress(d, 4, 32)                        # 8 steps/epoch
+    assert resume_start_epoch(d, 32) == 4          # checkpoint == last epoch
+    assert resume_start_epoch(d, 40) == 4          # newer step, clamp to last
+    assert resume_start_epoch(d, 16) == 2          # older checkpoint
+    assert resume_start_epoch(d, 0) == 0
 
 
 def test_metrics_with_flame_param_gt(workdir, capsys):

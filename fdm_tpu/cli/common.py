@@ -75,6 +75,12 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
         "audio->motion correspondence (matched vs mismatched-audio eval)",
     )
     parser.add_argument(
+        "--synthetic_size", type=int, default=8, metavar="N",
+        help="synthetic training clips (eval split scales as max(2, N//8)); "
+        "rehearsal runs need far more than the smoke default — at 8 clips a "
+        "full 300-epoch stage-1 run is only 2400 optimizer steps",
+    )
+    parser.add_argument(
         "--tiny", action="store_true",
         help="shrink every model to smoke-test size (implies fast compile)",
     )
@@ -164,10 +170,11 @@ def load_splits(cfg: PipelineConfig, args, read_audio: bool = True):
     if args.synthetic:
         from fdm_tpu.data import synthetic_splits
 
+        n_train = getattr(args, "synthetic_size", 8)
         return synthetic_splits(
             cfg,
-            num_train=8,
-            num_eval=2,
+            num_train=n_train,
+            num_eval=max(2, n_train // 8),
             min_frames=16 if args.tiny else 40,
             max_frames=32 if args.tiny else 120,
             seed=args.seed,

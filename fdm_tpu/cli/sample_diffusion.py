@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="clips generated per device call (records are "
                              "grouped by bucketed length so batches share "
                              "one compiled shape)")
+    parser.add_argument("--dp", action="store_true",
+                        help="shard each batch over all visible devices "
+                             "(data-parallel sampling; partial batches are "
+                             "padded to the device count and the padding "
+                             "rows dropped — outputs are identical to the "
+                             "single-device run)")
     parser.add_argument("--flame_model", default=None)
     parser.add_argument("--dump_gt_dir", default=None,
                         help="also save each record's ground-truth vertex "
@@ -102,6 +108,31 @@ def main(argv=None) -> int:
 
     vq_params, fdm_params = _init_params(ld, cfg, args, records, flame, frontend)
 
+    # --dp: one Mesh over every visible device, params replicated, each
+    # batch's leading axis sharded — XLA partitions the whole jitted
+    # sampler (denoise scan + quantize + decode) row-wise with no
+    # cross-device collectives (generation is independent per clip), so
+    # eval sweeps scale linearly over a slice. Same design as the train
+    # CLI's DP path (fdm_tpu/parallel/mesh.py); the reference is
+    # single-GPU-only here (samples/sample_diffusion_mead.py, SURVEY §2.5).
+    mesh = data_sharding = None
+    if args.dp:
+        if jax.device_count() > 1:
+            from fdm_tpu.parallel import (
+                batch_sharding,
+                make_mesh,
+                replicated_sharding,
+            )
+
+            mesh = make_mesh()
+            vq_params, fdm_params = jax.device_put(
+                (vq_params, fdm_params), replicated_sharding(mesh)
+            )
+            data_sharding = batch_sharding(mesh)
+            print(f"--dp: sharding batches over {mesh.devices.size} devices")
+        else:
+            print("note: --dp with a single visible device is a no-op")
+
     # params as jit args (closure-captured arrays become HLO constants —
     # pathological compile times for big weight trees)
     @jax.jit
@@ -114,6 +145,12 @@ def main(argv=None) -> int:
         )
 
     def generate(key, audio_hidden, template, style, emotion):
+        if data_sharding is not None:
+            audio_hidden, template, style = jax.device_put(
+                (audio_hidden, template, style), data_sharding
+            )
+            if emotion is not None:
+                emotion = jax.device_put(emotion, data_sharding)
         return _generate(
             vq_params, fdm_params, key, audio_hidden, template, style, emotion
         )
@@ -136,10 +173,14 @@ def main(argv=None) -> int:
         for i in range(0, len(by_len), args.batch_size)
     ]
     gt_dir = ensure_dir(args.dump_gt_dir) if args.dump_gt_dir else None
+    # under --dp the leading axis must divide by the mesh size: pad partial
+    # chunks by repeating the last record, slice the padding rows off below
+    pad_to = mesh.devices.size if mesh is not None else 1
     for chunk in chunks:
+        padded = chunk + [chunk[-1]] * ((-len(chunk)) % pad_to)
         batch = decode_motion(
             cfg,
-            collate_batch(chunk, bucket=cfg.train.frame_bucket,
+            collate_batch(padded, bucket=cfg.train.frame_bucket,
                           max_frames=cfg.train.max_frames,
                           fps=cfg.dataset.fps, include_audio=True),
             flame,
@@ -165,7 +206,8 @@ def main(argv=None) -> int:
                 jnp.asarray(batch["style_one_hot"])
                 if cond is None
                 else jnp.tile(
-                    jnp.eye(cfg.fdm.style_classes)[None, cond], (len(chunk), 1)
+                    jnp.eye(cfg.fdm.style_classes)[None, cond],
+                    (len(padded), 1),
                 )
             )
             key, sub = jax.random.split(key)

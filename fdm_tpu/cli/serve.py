@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--warmup_batch_sizes", default="1",
                         help="comma list of batch buckets to precompile "
                              "per warmup length")
+    parser.add_argument("--dp", action="store_true",
+                        help="data-parallel serving: replicate the model "
+                             "over all visible devices and shard each "
+                             "batch's clips across them (throughput "
+                             "scales with the slice; batches pad to a "
+                             "multiple of the device count)")
     return parser
 
 
@@ -63,7 +69,7 @@ def main(argv=None) -> int:
         flame_model=args.flame_model, seed=args.seed,
         allow_tiny=args.tiny or args.synthetic,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
-        request_timeout_s=args.request_timeout_s,
+        request_timeout_s=args.request_timeout_s, dp=args.dp,
         allowed_steps=(
             (None,) + tuple(
                 int(s) for s in args.allowed_steps.split(",") if s.strip()

@@ -81,7 +81,8 @@ class AnimationService:
                  seed: int = 0, allow_tiny: bool = False,
                  max_batch: int = 8, batch_window_ms: float = 30.0,
                  request_timeout_s: float = 900.0,
-                 allowed_steps: Optional[tuple] = None):
+                 allowed_steps: Optional[tuple] = None,
+                 dp: bool = False):
         import jax
         import jax.numpy as jnp
         from fdm_tpu.cli.common import (
@@ -169,6 +170,32 @@ class AnimationService:
         self._generate = jax.jit(
             _generate, static_argnames=("sampler", "steps", "cfg_off")
         )
+
+        # --dp: data-parallel serving over every visible chip. Params and
+        # the template replicate once; _execute pads each batch to a
+        # multiple of the mesh size and shards its leading axis, so XLA
+        # partitions the whole sampler row-wise over ICI (generation is
+        # per-clip independent — no collectives). Throughput scales with
+        # the slice; per-batch latency stays the single-row latency.
+        self._data_sharding = None
+        self._dp_size = 1
+        if dp:
+            if jax.device_count() > 1:
+                from fdm_tpu.parallel import (
+                    batch_sharding, make_mesh, replicated_sharding,
+                )
+
+                mesh = make_mesh()
+                repl = replicated_sharding(mesh)
+                self.vq_params, self.fdm_params = jax.device_put(
+                    (self.vq_params, self.fdm_params), repl
+                )
+                self._template_dev = jax.device_put(self.template, repl)
+                self._data_sharding = batch_sharding(mesh)
+                self._dp_size = int(mesh.devices.size)
+            else:
+                print("note: serve --dp with a single visible device "
+                      "is a no-op")
 
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "clips_batched": 0,
@@ -399,10 +426,21 @@ class AnimationService:
             B_pad = 1
             while B_pad < B:
                 B_pad *= 2
+            # DP serving: the sharded leading axis must divide by the mesh
+            # (padding rows are computed on otherwise-idle chips, so they
+            # cost no latency)
+            dp = self._dp_size
+            B_pad = ((B_pad + dp - 1) // dp) * dp
             padded = reqs + [reqs[0]] * (B_pad - B)
             audio = np.stack([r.wav for r in padded])
             hidden = self.frontend(audio, T_pad)
             style, emotion = self._conditions(padded)
+            if self._data_sharding is not None:
+                hidden, style = jax.device_put(
+                    (hidden, style), self._data_sharding
+                )
+                if emotion is not None:
+                    emotion = jax.device_put(emotion, self._data_sharding)
             # (1, 1, in_dim), device-resident since __init__: generate
             # only adds it to the decoded motion, which broadcasts over B
             tmpl = self._template_dev

@@ -80,6 +80,34 @@ def test_sample_diffusion_with_conditions(workdir, stage1_params, stage2_params)
     assert any("_condition_0" in f for f in files)
 
 
+def test_sample_diffusion_dp_matches_single_device(
+    workdir, stage1_params, stage2_params
+):
+    """--dp shards each batch over the 8-device test mesh (padding partial
+    chunks to the device count) and must reproduce the single-device
+    outputs: the sampler's (B, L, C) noise draws are row-major, so a padded
+    draw's leading rows equal the unpadded draw and padding rows only add
+    discarded work."""
+    from fdm_tpu.cli import sample_diffusion
+
+    common = BASE + [
+        "--stage1", stage1_params, "--stage2", stage2_params,
+        "--steps", "3", "--batch_size", "2",
+    ]
+    assert _run(
+        sample_diffusion, common + ["--output_dir", "dp_ref"]
+    ) == 0
+    assert _run(
+        sample_diffusion, common + ["--output_dir", "dp_out", "--dp"]
+    ) == 0
+    files = sorted(os.listdir("dp_ref"))
+    assert files and files == sorted(os.listdir("dp_out"))
+    for fname in files:
+        a = np.load(os.path.join("dp_ref", fname))
+        b = np.load(os.path.join("dp_out", fname))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_demo_and_render(workdir, stage1_params, stage2_params):
     from fdm_tpu.cli import demo, render
 

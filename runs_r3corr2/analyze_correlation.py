@@ -24,10 +24,14 @@ import numpy as np
 
 
 def temporal_corr(a: np.ndarray, b: np.ndarray) -> float:
-    """Pearson correlation of time-centered trajectories, flattened."""
+    """Pearson correlation of time-centered trajectories, flattened.
+
+    Time-centering removes every static component (FLAME template /
+    BIWI-VOCASET neutral-face vertices), so predictions that include the
+    template compare cleanly against template-free GT motion."""
     n = min(len(a), len(b))
-    a = a[:n] - a[:n].mean(0)
-    b = b[:n] - b[:n].mean(0)
+    a = a[:n].reshape(n, -1) - a[:n].reshape(n, -1).mean(0)
+    b = b[:n].reshape(n, -1) - b[:n].reshape(n, -1).mean(0)
     num = float((a * b).sum())
     den = float(np.sqrt((a * a).sum() * (b * b).sum())) + 1e-12
     return num / den
@@ -36,6 +40,8 @@ def temporal_corr(a: np.ndarray, b: np.ndarray) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pred", required=True, help="sampled .npy directory")
+    ap.add_argument("--dataset", default="mead",
+                    choices=("mead", "vocaset", "biwi"))
     ap.add_argument("--size", type=int, default=64, help="--synthetic_size")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json_out", required=True)
@@ -53,7 +59,7 @@ def main() -> int:
     )
 
     class _A:
-        dataset, tiny, overrides, data_root = "mead", False, [], None
+        dataset, tiny, overrides, data_root = args.dataset, False, [], None
         synthetic, seed = True, args.seed
 
     cfg = build_config(_A)
@@ -61,13 +67,19 @@ def main() -> int:
         cfg, num_train=args.size, num_eval=max(2, args.size // 8),
         seed=args.seed, mode="correlated",
     )
-    flame = FlameDecoder(cfg)
+    if cfg.dataset.uses_flame_params:
+        flame = FlameDecoder(cfg)
 
-    def decode(params: np.ndarray) -> np.ndarray:
-        import jax.numpy as jnp
+        def decode(params: np.ndarray) -> np.ndarray:
+            import jax.numpy as jnp
 
-        v = flame(jnp.asarray(params[None]))
-        return np.asarray(v[0])
+            v = flame(jnp.asarray(params[None]))
+            return np.asarray(v[0])
+    else:
+        # BIWI/VOCASET motion already lives in vertex space; the template
+        # offset the sampler adds is constant and cancels in temporal_corr
+        def decode(params: np.ndarray) -> np.ndarray:
+            return params
 
     records = splits.test
     envs = [

@@ -1,35 +1,49 @@
 #!/bin/bash
-# BIWI learning rehearsal on correlated synthetic data (see
-# runs_r3corr/pipeline.sh for the design): the heaviest configuration
-# (23370-vertex scans, in_dim 70110, wav2vec2-base trained from scratch),
-# DDIM-50 sampling with each clip's own style, matched vs time-reversed-GT
-# control through the BIWI metric family.
+# BIWI learning rehearsal on correlated synthetic data, take-2 regime
+# (see runs_r3corr2/pipeline.sh for the post-mortem that set it): 64
+# training clips so the reference-style epoch budgets translate into a
+# realistic optimizer-step count, plus the direct temporal-correlation
+# analysis with mismatched-audio controls — the time-reversal metrics
+# control alone is order-insensitive for near-constant predictions.
+#
+# This is the heaviest configuration (23370-vertex scans, in_dim 70110,
+# wav2vec2-base trained from scratch), DDIM-50 sampling with each clip's
+# own style, matched vs time-reversed-GT control through the BIWI metric
+# family.
 set -x
 cd /root/repo
 R3=runs_r3corr_biwi
 CK=checkpoints/r3corr_biwi
+SIZE=64
 mkdir -p $R3 $CK
 
 python -u -m fdm_tpu train-vqvae --dataset biwi --synthetic \
-  --synthetic_mode correlated --epochs 150 \
-  --set train.log_dir=$R3 --set train.eval_every=25 --set train.checkpoint_every=100 \
-  --ema_decay 0.999 --output_dir $CK/stage1 \
+  --synthetic_mode correlated --synthetic_size $SIZE --epochs 300 \
+  --set train.log_dir=$R3 --set train.eval_every=50 --set train.checkpoint_every=100 \
+  --ema_decay 0.999 --output_dir $CK/stage1 --resume \
   > $R3/stage1_stdout.log 2>&1 || exit 1
 
 python -u -m fdm_tpu train-diffusion --dataset biwi --synthetic \
-  --synthetic_mode correlated --epochs 400 \
-  --set train.log_dir=$R3 --set train.eval_every=25 --set train.checkpoint_every=100 \
+  --synthetic_mode correlated --synthetic_size $SIZE --epochs 150 \
+  --set train.log_dir=$R3 --set train.eval_every=50 --set train.checkpoint_every=100 \
   --stage1 $CK/stage1/biwi_vqvae_params.msgpack \
-  --train_audio_encoder --output_dir $CK/stage2 \
+  --train_audio_encoder --output_dir $CK/stage2 --resume \
   > $R3/stage2_stdout.log 2>&1 || exit 1
 
 python -u -m fdm_tpu sample-diffusion --dataset biwi --synthetic \
-  --synthetic_mode correlated \
+  --synthetic_mode correlated --synthetic_size $SIZE \
   --stage1 $CK/stage1/biwi_vqvae_params.msgpack \
   --stage2 $CK/stage2/biwi_fdm_params.msgpack \
   --audio_params $CK/stage2/biwi_audio_params.msgpack \
   --output_dir /tmp/r3corrb_samples --dump_gt_dir /tmp/r3corrb_gt \
   > $R3/sample_stdout.log 2>&1 || exit 1
+
+# ---- direct learning evidence: temporal correlation, matched vs
+# ---- mismatched audio (GT recomputable; the map is deterministic) ----
+python -u runs_r3corr2/analyze_correlation.py \
+  --dataset biwi --pred /tmp/r3corrb_samples --size $SIZE \
+  --json_out $R3/correlation.json 2>&1 | tee $R3/correlation_stdout.log \
+  || exit 1
 
 python - <<'PY' || exit 1
 import glob, os

@@ -311,10 +311,11 @@ def test_dp_service_shards_batches_and_matches_single_device(server):
     _, wav_pcm = wavfile.read(buf)
     wav = wav_pcm.astype(np.float32) / 32768.0
 
-    ref = base_service.submit(wav, emotion="happy", style=1, steps=2,
-                              seed=7, timeout=120)
-    out = dp_service.submit(wav, emotion="happy", style=1, steps=2,
-                            seed=7, timeout=120)
+    ref, _ = base_service.submit(wav, emotion="happy", style=1, steps=2,
+                                 seed=7, timeout=120)
+    out, batch_size = dp_service.submit(wav, emotion="happy", style=1,
+                                        steps=2, seed=7, timeout=120)
+    assert batch_size >= 1
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
     # the single clip padded out to one row per device

@@ -7,6 +7,7 @@
   demo                one wav -> animation .npy         (ref demo/demo_*.py)
   serve               resident batching HTTP server     (beyond the reference)
   metrics             FVE/LVE/EME/MVE/FDD/diversity     (ref metric/metric.py, computer_metrix.py)
+  correlation         matched-vs-mismatched learning evidence (beyond the reference)
   render              .npy -> .mp4                      (ref render/render*.py)
   preprocess_vocaset  raw VOCASET -> per-sequence files (ref vocaset/process_voca_data.py)
   preprocess_mead_audio  MEAD .m4a -> 16 kHz mono .wav  (ref data_loader_mead.py librosa decode)
@@ -23,6 +24,7 @@ COMMANDS = (
     "demo",
     "serve",
     "metrics",
+    "correlation",
     "render",
     "preprocess_vocaset",
     "preprocess_mead_audio",

@@ -1,0 +1,98 @@
+"""Learning-evidence CLI: matched-vs-mismatched temporal correlation of
+sampled animations against recomputable ground truth.
+
+  python -m fdm_tpu correlation --dataset mead --synthetic \
+      --synthetic_mode correlated --synthetic_size 64 \
+      --pred_path /tmp/samples --json_out runs/correlation.json
+
+Shares `load_splits` with the train/sample CLIs, so the test split it
+scores is BY CONSTRUCTION the split the sampler wrote (the round-3
+standalone analyzer duplicated the split conventions and crashed on
+PYTHONPATH — ADVICE round 3, items 1-3). Exits nonzero when the matched
+mean does not beat the mismatched mean by --min_delta (0 = report only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from fdm_tpu.cli.common import (
+    FlameDecoder,
+    add_common_args,
+    build_config,
+    load_splits,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--pred_path", required=True,
+                        help="directory of sampled <record>.npy files")
+    parser.add_argument("--split", default="test",
+                        choices=["train", "valid", "test"])
+    parser.add_argument("--json_out", default=None,
+                        help="write the full per-clip report here")
+    parser.add_argument("--min_delta", type=float, default=0.0,
+                        help="fail (exit 1) unless matched - mismatched "
+                             ">= this (learning-evidence gate)")
+    parser.add_argument("--flame_model", default=None)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = build_config(args)
+    recompute = (
+        args.synthetic and getattr(args, "synthetic_mode", "") == "correlated"
+    )
+
+    from fdm_tpu.eval.correlation import correlation_report
+
+    splits = load_splits(cfg, args, read_audio=True)
+    records = splits[args.split]
+    if not records:
+        raise SystemExit(f"no records in split {args.split!r}")
+
+    decode = None
+    if cfg.dataset.uses_flame_params:
+        flame = FlameDecoder(cfg, args.flame_model)
+
+        def decode(params):
+            import jax.numpy as jnp
+            import numpy as np
+
+            return np.asarray(flame(jnp.asarray(params[None]))[0])
+
+    report = correlation_report(
+        records, args.pred_path, config=cfg, decode=decode,
+        recompute_gt=recompute,
+    )
+    for clip in report["clips"]:
+        print(
+            f"{clip['clip']}: matched={clip['matched_corr']:+.4f} "
+            f"mismatched_mean={clip['mismatched_corr_mean']:+.4f} "
+            f"(pred std {clip['pred_temporal_std']:.6f}, "
+            f"gt std {clip['gt_temporal_std']:.6f})"
+        )
+    print(
+        f"SUMMARY matched={report['matched_corr_mean']:+.4f} "
+        f"mismatched={report['mismatched_corr_mean']:+.4f} "
+        f"delta={report['delta']:+.4f}"
+    )
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.json_out}")
+    if report["delta"] < args.min_delta:
+        print(
+            f"FAIL: delta {report['delta']:+.4f} < --min_delta "
+            f"{args.min_delta}"
+        )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

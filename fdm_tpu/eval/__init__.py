@@ -1,3 +1,7 @@
+from fdm_tpu.eval.correlation import (  # noqa: F401
+    correlation_report,
+    temporal_corr,
+)
 from fdm_tpu.eval.metrics import (  # noqa: F401
     MetricAccumulator,
     diversity,

@@ -56,25 +56,81 @@ def frame_rms_envelope(
 
 
 @functools.lru_cache(maxsize=8)
-def _motion_basis(dim: int, style_classes: int, emotion_classes: int):
+def _motion_basis(
+    dim: int, style_classes: int, emotion_classes: int, flame_space: bool
+):
     """Fixed articulation directions for the audio->motion map: one primary
-    (envelope-tracking) and one secondary (envelope-velocity) unit direction
-    per style, plus a constant offset per emotion."""
+    (envelope-tracking) and one secondary (envelope-velocity) direction per
+    style, plus a constant offset per emotion.
+
+    Sized and SHAPED like real articulation (round-4 redesign). The round-3
+    map sprayed a small magnitude over a random unit direction across the
+    whole space, which after the FLAME expression basis left a vertex-space
+    temporal std of ~5e-4 — 3x BELOW the trained codec's ~1.3e-3 recon
+    floor, so stage 2 had nothing representable to learn (the round-3
+    rehearsal's null result, VERDICT r3 item 1). Real speech concentrates
+    ~1e-2-scale displacement at the jaw/lips; this map does the same:
+
+    - FLAME space (MEAD): primary = shared jaw-open rotation (0.3 rad on
+      the jaw axis-angle dims, the dominant speech articulator) + an O(1)
+      per-style expression mixture; velocity and emotion live in the
+      expression dims. Global rotation stays zero.
+    - vertex space (BIWI/VOCASET): all directions are supported on one
+      shared seeded "lip region" of ~6% of the coordinates, scaled so the
+      in-region per-coordinate amplitude is ~1e-2 (real lip articulation
+      scale in meters), instead of 1e-3 smeared over the whole face.
+    """
     g = np.random.RandomState(_MAP_SEED)
 
-    def unit_rows(n):
-        d = g.randn(n, dim)
-        return (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(
+    def unit_rows(n, d):
+        rows = g.randn(n, d)
+        return (rows / np.linalg.norm(rows, axis=1, keepdims=True)).astype(
             np.float32
         )
 
-    # magnitudes sized like real articulation (jaw sweep ~0.1 in FLAME
-    # param / vertex-displacement units) and comfortably above the codec's
-    # incompressible-noise floor so reconstruction quality is measurable
-    primary = unit_rows(style_classes) * 0.1
-    velocity = unit_rows(style_classes) * 0.03
+    if flame_space:
+        # layout per geometry/flame.py params_to_vertices: expr(50) +
+        # [global(3), jaw(3)]; articulate expression + jaw, never global
+        n_expr = dim - 6
+
+        def expr_rows(n, scale):
+            rows = np.zeros((n, dim), np.float32)
+            rows[:, :n_expr] = unit_rows(n, n_expr) * scale
+            return rows
+
+        primary = expr_rows(style_classes, 1.0)
+        primary[:, n_expr + 3] += 0.3  # shared jaw-open component
+        velocity = expr_rows(style_classes, 0.3)
+        emotion = (
+            expr_rows(emotion_classes, 0.5)
+            if emotion_classes else np.zeros((0, dim), np.float32)
+        )
+        return primary, velocity, emotion
+
+    # the region draw uses its own stream (and is sorted) so that when the
+    # region covers the whole space (tiny test configs) the row draws below
+    # consume g exactly as the round-3 map did — keeping the tiny e2e
+    # learning test's fixed-seed numerics unchanged
+    region = np.sort(
+        np.random.RandomState(_MAP_SEED + 1).choice(
+            dim, size=min(dim, max(64, int(dim * 0.06))), replace=False
+        )
+    )
+
+    def region_rows(n, per_coord_amp):
+        # total norm floored at 0.1 so tiny test configs (where the region
+        # IS the whole space) keep a learnable scale
+        rows = np.zeros((n, dim), np.float32)
+        rows[:, region] = unit_rows(n, len(region)) * max(
+            0.1 * per_coord_amp / 0.01,
+            per_coord_amp * np.sqrt(len(region)),
+        )
+        return rows
+
+    primary = region_rows(style_classes, 0.01)
+    velocity = region_rows(style_classes, 0.003)
     emotion = (
-        unit_rows(emotion_classes) * 0.03
+        region_rows(emotion_classes, 0.003)
         if emotion_classes else np.zeros((0, dim), np.float32)
     )
     return primary, velocity, emotion
@@ -93,7 +149,7 @@ def envelope_to_motion(
     ds = config.dataset
     dim = ds.flame_param_dim if ds.uses_flame_params else ds.in_dim
     primary, velocity, emotion = _motion_basis(
-        dim, ds.style_classes, ds.emotion_classes
+        dim, ds.style_classes, ds.emotion_classes, ds.uses_flame_params
     )
     s = int(np.argmax(style_one_hot))
     env = env.astype(np.float32)

@@ -177,7 +177,7 @@ def test_pipeline_learns_audio_to_motion_map():
 
     # held-out eval: matched vs mismatched audio
     test_rng = np.random.RandomState(99)
-    primary, _, _ = _motion_basis(30, _STYLES, 0)
+    primary, _, _ = _motion_basis(30, _STYLES, 0, False)
     style0 = np.eye(_STYLES, dtype=np.float32)[0]
     R = 4  # average R generations (iid noise per batch element)
     corr_matched, corr_ctrl, mse_wins = [], [], 0

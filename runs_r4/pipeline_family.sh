@@ -1,0 +1,93 @@
+#!/bin/bash
+# Round-4 correlated rehearsal for the vertex-space families (VERDICT r3
+# item 4: the round-3 BIWI/VOCASET scripts were committed with zero runs).
+# Usage: pipeline_family.sh <biwi|vocaset>
+#
+# Same regime as pipeline_mead.sh (batch-8 DP, redesigned lip-region
+# articulation map, per-chunk correlation checkpoints) with one addition:
+# EARLY STOP — the moment a chunk's correlation gate reaches delta >= 0.5
+# the stage-2 loop ends and the final artifact is written, so a model that
+# learns in 300 epochs does not burn the full 1200-epoch budget (wall
+# clock is the scarce resource; both families run after MEAD).
+#
+# Shell hygiene per ADVICE r3: pipefail, explicit PYTHONPATH (keeping the
+# axon sitecustomize entry), direct redirects (no `| tee` dead guards),
+# end-of-run artifact asserts.
+set -euxo pipefail
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+DS=${1:?usage: pipeline_family.sh <biwi|vocaset>}
+R=runs_r4/$DS
+CK=checkpoints/r4corr/$DS
+SIZE=96    # 96 train / 12 valid / 12 test clips
+BS=8
+
+mkdir -p "$R" "$CK"
+
+SYN="--dataset $DS --synthetic --synthetic_mode correlated --synthetic_size $SIZE"
+
+# ---- stage 1: VQ-VAE codec ----
+python -u -m fdm_tpu train-vqvae $SYN --epochs 1500 \
+  --set train.batch_size=$BS \
+  --set train.log_dir=$R/tb_stage1 --set train.eval_every=250 \
+  --set train.checkpoint_every=500 \
+  --output_dir $CK/stage1 --resume \
+  > $R/stage1_stdout.log 2>&1
+
+# ---- stage-1 gate: the VQ round-trip must track GT motion temporally
+# (if the codec cannot represent the articulation signal, stage 2 has
+# nothing to learn — the round-3 failure mode; stop here, loudly) ----
+python -u -m fdm_tpu sample-vqvae $SYN \
+  --params $CK/stage1/${DS}_vqvae_params.msgpack \
+  --output_dir /tmp/r4c_${DS}_vq > $R/sample_vqvae_stdout.log 2>&1
+
+python -u -m fdm_tpu correlation $SYN \
+  --pred_path /tmp/r4c_${DS}_vq --min_delta 0.5 \
+  --json_out $R/correlation_stage1_roundtrip.json \
+  > $R/correlation_stage1_stdout.log 2>&1
+
+# ---- stage 2 in chunks; sample + correlation after each; stop early on
+# success ----
+PASSED=0
+for EP in 300 600 900 1200; do
+  python -u -m fdm_tpu train-diffusion $SYN --epochs $EP \
+    --set train.batch_size=$BS \
+    --set train.log_dir=$R/tb_stage2 --set train.eval_every=100 \
+    --set train.checkpoint_every=300 \
+    --stage1 $CK/stage1/${DS}_vqvae_params.msgpack \
+    --train_audio_encoder --output_dir $CK/stage2 --resume \
+    >> $R/stage2_stdout.log 2>&1
+
+  python -u -m fdm_tpu sample-diffusion $SYN --batch_size 8 \
+    --stage1 $CK/stage1/${DS}_vqvae_params.msgpack \
+    --stage2 $CK/stage2/${DS}_fdm_params.msgpack \
+    --audio_params $CK/stage2/${DS}_audio_params.msgpack \
+    --output_dir /tmp/r4c_${DS}_samples_$EP \
+    > $R/sample_e${EP}_stdout.log 2>&1
+
+  # report-only mid-run; the gated artifact below decides
+  python -u -m fdm_tpu correlation $SYN \
+    --pred_path /tmp/r4c_${DS}_samples_$EP \
+    --json_out $R/correlation_e${EP}.json \
+    > $R/correlation_e${EP}_stdout.log 2>&1
+  tail -1 $R/correlation_e${EP}_stdout.log || true
+
+  if python -u -m fdm_tpu correlation $SYN \
+       --pred_path /tmp/r4c_${DS}_samples_$EP --min_delta 0.5 \
+       --json_out $R/correlation_${DS}.json \
+       > $R/correlation_final_stdout.log 2>&1; then
+    PASSED=$EP
+    break
+  fi
+done
+
+# ---- artifact-existence asserts + the learning-evidence gate ----
+for f in $R/correlation_stage1_roundtrip.json $R/correlation_${DS}.json; do
+  test -s "$f" || { echo "MISSING ARTIFACT: $f"; exit 1; }
+done
+if [ "$PASSED" = "0" ]; then
+  echo "R4 ${DS^^} PIPELINE: correlation gate FAILED after 1200 epochs"
+  exit 1
+fi
+echo "R4 ${DS^^} PIPELINE DONE (gate passed at epoch $PASSED)"

@@ -362,15 +362,29 @@ class AudioEncoder(nn.Module):
         wav: jnp.ndarray,
         even_trim: bool = True,
         specaugment_key: Optional[jax.Array] = None,
+        freeze_extractor: bool = False,
     ) -> jnp.ndarray:
         """Waveform -> hidden states. Passing `specaugment_key` enables the
         training-time regularization — SpecAugment masking AND the HF
         dropouts (hidden/feat_proj) — the JAX equivalent of the reference's
-        `self.training` branch (models/hubert.py:112)."""
+        `self.training` branch (models/hubert.py:112).
+
+        `freeze_extractor` stops gradients at the conv-feature boundary.
+        The reference NEVER trains the extractor (it calls
+        feature_extractor._freeze_parameters() unconditionally,
+        models/fdm_vqvae_mead.py:19). Inside the fused train step this is
+        a wash — XLA already dead-code-eliminates the conv backward
+        because the masked optimizer maps those grads to zeros within the
+        same program (measured: b8 fp32 9.93 steps/s both ways) — but it
+        makes the freeze explicit at the autodiff level, so the grads are
+        zero (not just unused) wherever they ARE materialized: grad
+        accumulation state, debugging hooks, or a future unfused loop."""
         drop_key = None
         if specaugment_key is not None:
             specaugment_key, drop_key = jax.random.split(specaugment_key)
         feats = self.extract_features(wav)
+        if freeze_extractor:
+            feats = jax.lax.stop_gradient(feats)
         if even_trim and feats.shape[1] % 2 != 0:
             feats = feats[:, :-1]
         time_mask = feature_mask = None

@@ -65,6 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="fine-tune the audio encoder transformer jointly "
                              "with the FDM (conv extractor frozen) — the "
                              "reference's stage-2 regime (quirk Q10)")
+    parser.add_argument("--device_cache", action="store_true",
+                        help="pin every collated batch in device memory "
+                             "once and reuse across epochs (small datasets "
+                             "on transfer-bound links; batch composition "
+                             "is fixed, order reshuffles per epoch)")
+    parser.add_argument("--device_cache_half", action="store_true",
+                        help="store cached float32 data as fp16 (halves "
+                             "HBM; matches the reference loaders' own "
+                             "fp16 round-trip, quirk Q9)")
     return parser
 
 
@@ -186,11 +195,31 @@ def main(argv=None) -> int:
         rng=jax.random.PRNGKey(cfg.train.seed + 2),
     )
 
+    cache = None
+    if args.device_cache:
+        from fdm_tpu.data.device_cache import DeviceBatchCache
+
+        cache = DeviceBatchCache.from_records(
+            splits.train, cfg.train.batch_size,
+            lambda b: _prepare(b, cfg, flame, frontend,
+                               keep_audio=args.train_audio_encoder),
+            bucket=cfg.train.frame_bucket, max_frames=cfg.train.max_frames,
+            fps=cfg.dataset.fps, include_audio=True, seed=args.seed,
+            drop_last=jax.device_count() > 1 and cfg.train.batch_size > 1,
+            half=args.device_cache_half,
+            half_keys=("motion", "template", "audio"),
+            max_bytes=12 << 30,
+        )
+        print(f"device cache: {cache.num_batches} batches, "
+              f"{cache.nbytes / 1e9:.2f} GB pinned")
+
     for epoch in range(start_epoch + 1, epochs + 1):
         data = (
-            _prepare(b, cfg, flame, frontend,
-                     keep_audio=args.train_audio_encoder)
-            for b in _batches(splits.train, cfg, args, epoch)
+            cache.epoch(args.seed + epoch) if cache is not None else (
+                _prepare(b, cfg, flame, frontend,
+                         keep_audio=args.train_audio_encoder)
+                for b in _batches(splits.train, cfg, args, epoch)
+            )
         )
         means = trainer.run_epoch(data, epoch)
         save_progress(out_dir, epoch, int(trainer.state.step))

@@ -55,6 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "data mesh (ZeRO-3) instead of replicating")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of early steps")
+    parser.add_argument("--device_cache", action="store_true",
+                        help="pin every collated batch in device memory "
+                             "once and reuse across epochs (small datasets "
+                             "on transfer-bound links; batch composition "
+                             "is fixed, order reshuffles per epoch)")
+    parser.add_argument("--device_cache_half", action="store_true",
+                        help="store cached float32 data as fp16 (halves "
+                             "HBM; matches the reference loaders' own "
+                             "fp16 round-trip, quirk Q9)")
     return parser
 
 
@@ -138,10 +147,29 @@ def main(argv=None) -> int:
         rng=jax.random.PRNGKey(cfg.train.seed),
     )
 
+    cache = None
+    if args.device_cache:
+        from fdm_tpu.data.device_cache import DeviceBatchCache
+
+        cache = DeviceBatchCache.from_records(
+            splits.train, cfg.train.batch_size,
+            lambda b: decode_motion(cfg, b, flame),
+            bucket=cfg.train.frame_bucket, max_frames=cfg.train.max_frames,
+            fps=cfg.dataset.fps, include_audio=False, seed=args.seed,
+            drop_last=jax.device_count() > 1 and cfg.train.batch_size > 1,
+            half=args.device_cache_half,
+            half_keys=("motion", "template", "audio"),
+            max_bytes=12 << 30,
+        )
+        print(f"device cache: {cache.num_batches} batches, "
+              f"{cache.nbytes / 1e9:.2f} GB pinned")
+
     for epoch in range(start_epoch + 1, epochs + 1):
         data = (
-            decode_motion(cfg, b, flame)
-            for b in _batches(splits.train, cfg, args, epoch_seed=epoch)
+            cache.epoch(args.seed + epoch) if cache is not None else (
+                decode_motion(cfg, b, flame)
+                for b in _batches(splits.train, cfg, args, epoch_seed=epoch)
+            )
         )
         means = trainer.run_epoch(data, epoch)
         save_progress(out_dir, epoch, int(trainer.state.step))

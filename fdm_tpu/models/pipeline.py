@@ -92,7 +92,8 @@ class LatentDiffusion:
 
     def encode_audio(self, audio_params, wav: jnp.ndarray,
                      num_frames: int,
-                     specaugment_key: Optional[jax.Array] = None
+                     specaugment_key: Optional[jax.Array] = None,
+                     freeze_extractor: bool = False,
                      ) -> jnp.ndarray:
         """Raw waveform (B, S) -> frame-aligned hidden states
         (B, num_frames, audio_dim*pair) through the in-pipeline encoder —
@@ -108,6 +109,7 @@ class LatentDiffusion:
         hidden = self.audio_encoder.apply(
             audio_params, wav, even_trim=False,
             specaugment_key=specaugment_key,
+            freeze_extractor=freeze_extractor,
         )
         return align_hidden_frames(hidden, self.config.fdm, num_frames)
 
@@ -262,8 +264,13 @@ class LatentDiffusion:
         (models/hubert.py:112-122)."""
         T = motion.shape[1]
         sa_key, key = jax.random.split(key)
+        # freeze_extractor: the conv extractor is frozen in this regime
+        # (reference models/fdm_vqvae_mead.py:19) — stopping gradients at
+        # the feature boundary skips its whole backward pass instead of
+        # computing grads the masked optimizer would zero anyway
         audio_hidden = self.encode_audio(
-            params["audio"], audio_wav, T, specaugment_key=sa_key
+            params["audio"], audio_wav, T, specaugment_key=sa_key,
+            freeze_extractor=True,
         )
         return self.stage2_train_loss(
             vq_params, params["fdm"], key, motion, template, audio_hidden,

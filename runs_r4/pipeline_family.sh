@@ -20,16 +20,28 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 DS=${1:?usage: pipeline_family.sh <biwi|vocaset>}
 R=runs_r4/$DS
 CK=checkpoints/r4corr/$DS
-SIZE=96    # 96 train / 12 valid / 12 test clips
 BS=8
+# Sizes from the MEAD attempt-1 postmortem (the codec MEMORIZES small
+# clip sets: train-split roundtrip corr 0.976 vs test ~0 at 128 clips)
+# bounded by device memory — the vertex-space datasets train through the
+# HBM-resident cache (--device_cache), which removes the ~50 MB/s
+# host->device bound that pinned the round-3 runs to 3 steps/s:
+#   vocaset: 256 clips x 120 x 15069 fp32 ~= 1.9 GB   (fp32 cache)
+#   biwi:    192 clips x 120 x 70110 fp16 ~= 3.2 GB   (fp16 cache, the
+#            reference's own loaders round-trip vertices through fp16)
+if [ "$DS" = "biwi" ]; then
+  SIZE=192; S1_EPOCHS=1650; CHUNKS="150 300 450 600"; HALF=--device_cache_half
+else
+  SIZE=256; S1_EPOCHS=1250; CHUNKS="150 300 450 600"; HALF=
+fi
 
 mkdir -p "$R" "$CK"
 
 SYN="--dataset $DS --synthetic --synthetic_mode correlated --synthetic_size $SIZE"
 
 # ---- stage 1: VQ-VAE codec ----
-python -u -m fdm_tpu train-vqvae $SYN --epochs 1500 \
-  --set train.batch_size=$BS \
+python -u -m fdm_tpu train-vqvae $SYN --epochs $S1_EPOCHS \
+  --set train.batch_size=$BS --device_cache $HALF \
   --set train.log_dir=$R/tb_stage1 --set train.eval_every=250 \
   --set train.checkpoint_every=500 \
   --output_dir $CK/stage1 --resume \
@@ -47,12 +59,24 @@ python -u -m fdm_tpu correlation $SYN \
   --json_out $R/correlation_stage1_roundtrip.json \
   > $R/correlation_stage1_stdout.log 2>&1
 
+# ---- stage-1 memorization probe: train-split roundtrip next to the
+# test gate (their gap IS the memorization signal) ----
+python -u -m fdm_tpu sample-vqvae $SYN --split train \
+  --params $CK/stage1/${DS}_vqvae_params.msgpack \
+  --output_dir /tmp/r4c_${DS}_vq_train \
+  > $R/sample_vqvae_train_stdout.log 2>&1
+python -u -m fdm_tpu correlation $SYN --split train \
+  --pred_path /tmp/r4c_${DS}_vq_train \
+  --json_out $R/correlation_stage1_train_roundtrip.json \
+  > $R/correlation_stage1_train_stdout.log 2>&1
+tail -1 $R/correlation_stage1_train_stdout.log || true
+
 # ---- stage 2 in chunks; sample + correlation after each; stop early on
 # success ----
 PASSED=0
-for EP in 300 600 900 1200; do
+for EP in $CHUNKS; do
   python -u -m fdm_tpu train-diffusion $SYN --epochs $EP \
-    --set train.batch_size=$BS \
+    --set train.batch_size=$BS --device_cache $HALF \
     --set train.log_dir=$R/tb_stage2 --set train.eval_every=100 \
     --set train.checkpoint_every=300 \
     --stage1 $CK/stage1/${DS}_vqvae_params.msgpack \

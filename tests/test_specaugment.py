@@ -188,10 +188,10 @@ def test_stage2_e2e_loss_uses_specaugment():
     seen = {}
     orig = LatentDiffusion.encode_audio
 
-    def spy(self, audio_params, w, n, specaugment_key=None):
+    def spy(self, audio_params, w, n, specaugment_key=None, **kw):
         seen["key"] = specaugment_key
         return orig(self, audio_params, w, n,
-                    specaugment_key=specaugment_key)
+                    specaugment_key=specaugment_key, **kw)
 
     key = jax.random.PRNGKey(7)
     try:

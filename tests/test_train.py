@@ -300,6 +300,90 @@ def test_stage2_e2e_trains_audio_encoder_with_frozen_conv():
     )
 
 
+def test_stage2_e2e_freeze_extractor_cuts_conv_backward_exactly():
+    """stage2_train_loss_e2e stops gradients at the conv-feature boundary
+    (the reference freezes the extractor unconditionally,
+    models/fdm_vqvae_mead.py:19): conv grads must be EXACTLY zero (the
+    backward is cut, not merely masked later by the optimizer), while
+    every other gradient leaf matches the unfrozen encode path
+    bit-for-bit — the optimization must not change the training math."""
+    from fdm_tpu.models import LatentDiffusion
+
+    cfg = tiny_pipeline()
+    ld = LatentDiffusion.create(
+        cfg, with_audio_encoder=True, allow_tiny_audio_encoder=True
+    )
+    B, T = 2, 8
+    sr_samples = int(T / 25 * 16000)
+    key = jax.random.PRNGKey(0)
+    motion = jax.random.normal(key, (B, T, cfg.vqvae.in_dim)) * 0.1
+    template = jnp.zeros((B, 1, cfg.vqvae.in_dim))
+    wav = jax.random.normal(jax.random.PRNGKey(1), (B, sr_samples)) * 0.1
+    style = jnp.eye(cfg.fdm.style_classes)[:B]
+    emo = jnp.eye(7)[:B]
+
+    vq_params = ld.vqvae.init(jax.random.PRNGKey(2), motion, template, emo)
+    audio_params = ld.audio_encoder.init(jax.random.PRNGKey(3), wav)
+    hidden = ld.encode_audio(audio_params, wav, T)
+    L = T * cfg.fdm.tokens_per_frame
+    C = cfg.fdm.feature_dim // cfg.fdm.tokens_per_frame
+    fdm_params = ld.fdm.init(
+        jax.random.PRNGKey(4), jnp.zeros((B, L, C)),
+        jnp.zeros((B,), jnp.int32), hidden, style, emo,
+    )
+    # the FDM output layer is zero-initialized (reference parity), which
+    # blocks ALL upstream gradients at init — perturb the FDM params so
+    # real gradient signal reaches the audio encoder
+    fdm_params = jax.tree_util.tree_map(lambda x: x + 0.01, fdm_params)
+    params = {"fdm": fdm_params, "audio": audio_params}
+    loss_key = jax.random.PRNGKey(7)
+
+    def frozen_loss(p):
+        return ld.stage2_train_loss_e2e(
+            vq_params, p, loss_key, motion, template, wav, style, emo,
+        )[0]
+
+    def unfrozen_loss(p):
+        # the e2e loss body with freeze_extractor left at its default —
+        # mirrors stage2_train_loss_e2e's key split exactly
+        sa_key, k = jax.random.split(loss_key)
+        h = ld.encode_audio(
+            p["audio"], wav, T, specaugment_key=sa_key,
+        )
+        return ld.stage2_train_loss(
+            vq_params, p["fdm"], k, motion, template, h, style, emo,
+        )[0]
+
+    g_frozen = jax.grad(frozen_loss)(params)
+    g_unfrozen = jax.grad(unfrozen_loss)(params)
+
+    conv_frozen = g_frozen["audio"]["params"]["feature_extractor"]
+    conv_unfrozen = g_unfrozen["audio"]["params"]["feature_extractor"]
+    for leaf in jax.tree_util.tree_leaves(conv_frozen):
+        np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+    # the unfrozen path must have NONZERO conv grads, or this test would
+    # pass vacuously (e.g. if the loss never touched the audio branch)
+    assert any(
+        np.abs(np.asarray(leaf)).max() > 0
+        for leaf in jax.tree_util.tree_leaves(conv_unfrozen)
+    ), "unfrozen conv grads all zero — the comparison is vacuous"
+
+    def drop_conv(g):
+        return {
+            "fdm": g["fdm"],
+            "audio": {"params": {
+                k: v for k, v in g["audio"]["params"].items()
+                if k != "feature_extractor"
+            }},
+        }
+
+    a_leaves = jax.tree_util.tree_leaves(drop_conv(g_frozen))
+    b_leaves = jax.tree_util.tree_leaves(drop_conv(g_unfrozen))
+    assert len(a_leaves) == len(b_leaves)
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_trainer_profiling_writes_trace(tmp_path):
     cfg = tiny_pipeline()
     ld, vq_params, *_ = init_pipeline(cfg)

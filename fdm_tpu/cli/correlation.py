@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--min_delta", type=float, default=0.0,
                         help="fail (exit 1) unless matched - mismatched "
                              ">= this (learning-evidence gate)")
+    parser.add_argument("--max_clips", type=int, default=0,
+                        help="analyze only the first N split records "
+                             "(0 = all) — a 512-clip train-split sweep "
+                             "is quadratic in GT decodes otherwise")
+    parser.add_argument("--max_mismatched", type=int, default=32,
+                        help="mismatched controls per clip (0 = all "
+                             "pairs)")
     parser.add_argument("--flame_model", default=None)
     return parser
 
@@ -54,20 +61,34 @@ def main(argv=None) -> int:
     records = splits[args.split]
     if not records:
         raise SystemExit(f"no records in split {args.split!r}")
+    if args.max_clips and len(records) > args.max_clips:
+        records = records[: args.max_clips]
 
     decode = None
     if cfg.dataset.uses_flame_params:
+        import numpy as np
+
         flame = FlameDecoder(cfg, args.flame_model)
+        # pad every clip to ONE bucketed length before the jitted FLAME
+        # decode: per-clip lengths would compile one program per distinct
+        # T (~80 shapes x tens of seconds each on remote-compile backends
+        # — this single sweep once cost more than the training run)
+        bucket = max(
+            ((max(len(r.motion) for r in records) + 63) // 64) * 64, 64
+        )
 
         def decode(params):
             import jax.numpy as jnp
-            import numpy as np
 
-            return np.asarray(flame(jnp.asarray(params[None]))[0])
+            T = params.shape[0]
+            padded = np.zeros((bucket, params.shape[1]), np.float32)
+            padded[:T] = params
+            return np.asarray(flame(jnp.asarray(padded[None]))[0][:T])
 
     report = correlation_report(
         records, args.pred_path, config=cfg, decode=decode,
         recompute_gt=recompute,
+        max_mismatched=args.max_mismatched or None,
     )
     for clip in report["clips"]:
         print(

@@ -65,7 +65,7 @@ python -u -m fdm_tpu sample-vqvae $SYN --split train \
   --params $CK/stage1/${DS}_vqvae_params.msgpack \
   --output_dir /tmp/r4c_${DS}_vq_train \
   > $R/sample_vqvae_train_stdout.log 2>&1
-python -u -m fdm_tpu correlation $SYN --split train \
+python -u -m fdm_tpu correlation $SYN --split train --max_clips 64 \
   --pred_path /tmp/r4c_${DS}_vq_train \
   --json_out $R/correlation_stage1_train_roundtrip.json \
   > $R/correlation_stage1_train_stdout.log 2>&1

@@ -43,7 +43,7 @@ python -u -m fdm_tpu train-vqvae $SYN --epochs 650 \
 python -u -m fdm_tpu sample-vqvae $SYN --split train \
   --params $CK/stage1/mead_vqvae_params.msgpack \
   --output_dir /tmp/r4c2_vq_train > $R4/sample_vqvae_train_stdout.log 2>&1
-python -u -m fdm_tpu correlation $SYN --split train \
+python -u -m fdm_tpu correlation $SYN --split train --max_clips 64 \
   --pred_path /tmp/r4c2_vq_train \
   --json_out $R4/correlation_stage1_train_roundtrip.json \
   > $R4/correlation_stage1_train_stdout.log 2>&1

@@ -19,7 +19,12 @@
 # stage 1 600 epochs = 38,400 steps, stage 2 200 epochs = 12,800 steps,
 # both at the reference lr 1e-4 batch 1 regime (3e-4 diverges: quant loss
 # 30->300 within 6 epochs, observed in take 1's first attempt).
+# Hardened post-hoc per ADVICE r3 (the tee pipeline swallowed the
+# analyzer's crash and PYTHONPATH lost the repo root when this ran):
+# superseded by runs_r4/pipeline_family.sh for new runs.
 set -x
+set -euo pipefail
+export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 R3=runs_r3corr2
 CK=checkpoints/r3corr2

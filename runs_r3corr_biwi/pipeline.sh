@@ -10,7 +10,12 @@
 # wav2vec2-base trained from scratch), DDIM-50 sampling with each clip's
 # own style, matched vs time-reversed-GT control through the BIWI metric
 # family.
+# Hardened post-hoc per ADVICE r3 (the tee pipeline swallowed the
+# analyzer's crash and PYTHONPATH lost the repo root when this ran):
+# superseded by runs_r4/pipeline_family.sh for new runs.
 set -x
+set -euo pipefail
+export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 R3=runs_r3corr_biwi
 CK=checkpoints/r3corr_biwi

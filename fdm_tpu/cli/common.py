@@ -199,7 +199,14 @@ class FlameDecoder:
     serialization. With --synthetic/--tiny a synthetic FLAME model stands in
     for the licensed generic_model.pkl."""
 
-    def __init__(self, cfg: PipelineConfig, flame_path: Optional[str] = None):
+    def __init__(self, cfg: PipelineConfig, flame_path: Optional[str] = None,
+                 device=None):
+        """`device` pins the decode (weights + execution) to a specific
+        backend — pass `jax.devices('cpu')[0]` for host-side eval paths:
+        on a remote-attached accelerator, a decoder built on the default
+        device re-downloads ~30 MB of model tensors per call when the
+        caller wants host results (measured 1.9 s/decode over the tunnel
+        vs milliseconds on the host CPU)."""
         from fdm_tpu.geometry import (
             load_flame_model,
             params_to_vertices,
@@ -220,6 +227,7 @@ class FlameDecoder:
         # ~24 MB shapedirs as HLO constants; see bench.py note)
         n_expr = self.n_expr
         base = self.model
+        self._device = device
 
         @jax.jit
         def decode(weights, params):  # (B, T, P) -> (B, T, V*3)
@@ -233,7 +241,16 @@ class FlameDecoder:
             for k in ("v_template", "shapedirs", "posedirs", "j_regressor",
                       "lbs_weights")
         }
-        self._decode = lambda params: decode(self._weights, params)
+        if device is not None:
+            self._weights = jax.device_put(self._weights, device)
+
+        def _call(params):
+            if self._device is not None:
+                with jax.default_device(self._device):
+                    return decode(self._weights, params)
+            return decode(self._weights, params)
+
+        self._decode = _call
         self._template_cache = {}
 
     def __call__(self, params: jnp.ndarray) -> jnp.ndarray:

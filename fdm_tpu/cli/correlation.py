@@ -66,9 +66,16 @@ def main(argv=None) -> int:
 
     decode = None
     if cfg.dataset.uses_flame_params:
+        import jax
         import numpy as np
 
-        flame = FlameDecoder(cfg, args.flame_model)
+        # the decoder is pinned to the HOST CPU: this is pure eval of
+        # saved arrays, and on a remote-attached accelerator every decode
+        # would otherwise DOWNLOAD ~8 MB of vertices over the tunnel — a
+        # 64-clip x 32-control sweep is ~16 GB of transfer for work the
+        # host does in seconds
+        flame = FlameDecoder(cfg, args.flame_model,
+                             device=jax.devices("cpu")[0])
         # pad every clip to ONE bucketed length before the jitted FLAME
         # decode: per-clip lengths would compile one program per distinct
         # T (~80 shapes x tens of seconds each on remote-compile backends
@@ -78,12 +85,14 @@ def main(argv=None) -> int:
         )
 
         def decode(params):
-            import jax.numpy as jnp
-
             T = params.shape[0]
             padded = np.zeros((bucket, params.shape[1]), np.float32)
             padded[:T] = params
-            return np.asarray(flame(jnp.asarray(padded[None]))[0][:T])
+            # hand the decoder HOST numpy: a jnp.asarray here would commit
+            # the input to the default accelerator, and committed inputs
+            # override the decoder's CPU pinning (jax places the program
+            # on the committed device)
+            return np.asarray(flame(padded[None])[0][:T])
 
     report = correlation_report(
         records, args.pred_path, config=cfg, decode=decode,

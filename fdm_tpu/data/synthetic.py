@@ -218,13 +218,22 @@ def synthetic_splits(
             ]
             if ds.emotion_classes else None
         )
-        audio = (
-            (rng.randn(int(T / ds.fps * ds.audio_sr)) * 0.1).astype(np.float32)
-            if with_audio else None
-        )
+        # the rng draw happens UNCONDITIONALLY: `with_audio` may only
+        # control whether the waveform is attached, never the rng stream.
+        # When it gated the draw itself, read_audio=False callers
+        # (sample-vqvae) and read_audio=True callers (train-diffusion,
+        # correlation) generated DIFFERENT records under the SAME names
+        # from the second record on — every cross-CLI comparison scored
+        # predictions against another universe's ground truth, which is
+        # exactly how the round-3/4 stage-1 roundtrip gates "failed" on a
+        # codec that actually tracks its inputs at corr 0.99.
+        noise_audio = (
+            rng.randn(int(T / ds.fps * ds.audio_sr)) * 0.1
+        ).astype(np.float32)
+        audio = noise_audio if with_audio else None
         if mode == "correlated":
-            # audio is generated regardless of with_audio (the motion is a
-            # function of it); it is only attached when requested
+            # the motion is a function of the audio, so the waveform is
+            # generated regardless and only ATTACHED when requested
             wav = _speech_like_audio(rng, T, ds.fps, ds.audio_sr)
             env = frame_rms_envelope(wav, T, ds.fps, ds.audio_sr)
             motion = envelope_to_motion(env, style, emotion, config)

@@ -95,12 +95,15 @@ def load_flame_model(
         dyn_bary = np.stack(contour["lmk_b_coords"]).astype(np.float32)
 
     return FlameModel(
-        v_template=jnp.asarray(get("v_template"), jnp.float32),
-        shapedirs=jnp.asarray(get("shapedirs"), jnp.float32),
-        posedirs=jnp.asarray(posedirs, jnp.float32),
-        j_regressor=jnp.asarray(j_reg, jnp.float32),
+        # host numpy (not jnp): see synthetic_flame_model — committing the
+        # model to the default backend at load time forces device
+        # round-trips on host-side eval paths
+        v_template=np.asarray(get("v_template"), np.float32),
+        shapedirs=np.asarray(get("shapedirs"), np.float32),
+        posedirs=np.asarray(posedirs, np.float32),
+        j_regressor=np.asarray(j_reg, np.float32),
         parents=parents,
-        lbs_weights=jnp.asarray(get("weights"), jnp.float32),
+        lbs_weights=np.asarray(get("weights"), np.float32),
         faces=get("f").astype(np.int64) if _has(data, "f") else None,
         lmk_faces_idx=lmk_idx,
         lmk_bary_coords=lmk_bary,
@@ -130,17 +133,22 @@ def synthetic_flame_model(
     w = w / w.sum(axis=1, keepdims=True)
     jr = rng.rand(J, V).astype(np.float32)
     jr = jr / jr.sum(axis=1, keepdims=True)
+    # HOST numpy, deliberately: building jnp arrays here would COMMIT the
+    # ~25 MB model to whatever backend is default at construction time —
+    # host-side eval paths (metrics, correlation) then re-download it over
+    # the device link. Jit call sites upload uncommitted numpy on demand;
+    # FlameDecoder pins to an explicit device when asked.
     return FlameModel(
-        v_template=jnp.asarray(rng.randn(V, 3) * 0.1, jnp.float32),
-        shapedirs=jnp.asarray(
-            rng.randn(V, 3, n_shape + n_expr) * 0.01, jnp.float32
+        v_template=np.asarray(rng.randn(V, 3) * 0.1, np.float32),
+        shapedirs=np.asarray(
+            rng.randn(V, 3, n_shape + n_expr) * 0.01, np.float32
         ),
-        posedirs=jnp.asarray(
-            rng.randn(9 * (J - 1), V * 3) * 0.01, jnp.float32
+        posedirs=np.asarray(
+            rng.randn(9 * (J - 1), V * 3) * 0.01, np.float32
         ),
-        j_regressor=jnp.asarray(jr, jnp.float32),
+        j_regressor=np.asarray(jr, np.float32),
         parents=parents,
-        lbs_weights=jnp.asarray(w, jnp.float32),
+        lbs_weights=np.asarray(w, np.float32),
         faces=np.stack(
             [np.arange(V - 2), np.arange(1, V - 1), np.arange(2, V)], axis=1
         ),

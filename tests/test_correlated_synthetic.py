@@ -78,6 +78,28 @@ def test_correlated_generator_deterministic_and_conditioned():
     na = synthetic_splits(cfg, num_train=2, num_eval=1, mode="correlated",
                           with_audio=False)
     assert na.train[0].audio is None
+
+
+def test_with_audio_never_changes_the_records():
+    """`with_audio` may only gate ATTACHMENT of the waveform, never the rng
+    stream: when it gated the draw itself, read_audio=False CLIs
+    (sample-vqvae) and read_audio=True CLIs (correlation) generated
+    different records under the same names from record 1 on, and every
+    stage-1 roundtrip gate scored predictions against another universe's
+    ground truth (the round-4 rehearsal's false 'memorization' signal)."""
+    for mode in ("correlated", "noise"):
+        cfg = mead_config()
+        wa = synthetic_splits(cfg, num_train=4, num_eval=2, mode=mode,
+                              seed=0, with_audio=True)
+        na = synthetic_splits(cfg, num_train=4, num_eval=2, mode=mode,
+                              seed=0, with_audio=False)
+        for a, b in zip(wa.train + wa.valid + wa.test,
+                        na.train + na.valid + na.test):
+            assert a.name == b.name
+            np.testing.assert_array_equal(a.motion, b.motion)
+            np.testing.assert_array_equal(a.template, b.template)
+            np.testing.assert_array_equal(a.style_one_hot, b.style_one_hot)
+            assert a.audio is not None and b.audio is None
     assert na.train[0].motion.std() > 0
 
 

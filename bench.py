@@ -88,6 +88,20 @@ def build_generate(dataset: str, sampler: str, steps: int, seconds: float,
     fps = cfg.dataset.fps
     sr = cfg.dataset.audio_sr
     T = int(seconds * fps)
+    L_need = T * cfg.fdm.tokens_per_frame
+    if L_need > cfg.fdm.max_seq_len:
+        # long-clip runs: the positional/ALiBi tables are sized by
+        # max_seq_len (600 = the reference's ceiling); extend them to the
+        # requested clip. The flash-attention path regenerates its bias
+        # in-kernel, so only the PE table actually grows.
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            fdm=dataclasses.replace(cfg.fdm, max_seq_len=L_need),
+            train=dataclasses.replace(cfg.train, max_frames=max(
+                T, cfg.train.max_frames)),
+        )
     ld = LatentDiffusion.create(
         cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
         self_attn_mode="fused" if fused else "table",

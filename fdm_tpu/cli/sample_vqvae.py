@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="stage-1 params .msgpack (random init if unset)")
     parser.add_argument("--output_dir", default="results/vqvae")
     parser.add_argument("--split", default="test", choices=["train", "valid", "test"])
+    parser.add_argument("--max_clips", type=int, default=0,
+                        help="round-trip only the first N split records "
+                             "(0 = all) — gate runs need only the clips "
+                             "the correlation CLI will read")
     parser.add_argument("--flame_model", default=None)
     return parser
 
@@ -55,6 +59,8 @@ def main(argv=None) -> int:
     records = splits[args.split]
     if not records:
         raise SystemExit(f"no records in split {args.split!r}")
+    if args.max_clips and len(records) > args.max_clips:
+        records = records[: args.max_clips]
     flame = (
         FlameDecoder(cfg, args.flame_model)
         if cfg.dataset.uses_flame_params else None

@@ -61,7 +61,7 @@ python -u -m fdm_tpu correlation $SYN \
 
 # ---- stage-1 memorization probe: train-split roundtrip next to the
 # test gate (their gap IS the memorization signal) ----
-python -u -m fdm_tpu sample-vqvae $SYN --split train \
+python -u -m fdm_tpu sample-vqvae $SYN --split train --max_clips 64 \
   --params $CK/stage1/${DS}_vqvae_params.msgpack \
   --output_dir /tmp/r4c_${DS}_vq_train \
   > $R/sample_vqvae_train_stdout.log 2>&1

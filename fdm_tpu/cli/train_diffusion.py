@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="store cached float32 data as fp16 (halves "
                              "HBM; matches the reference loaders' own "
                              "fp16 round-trip, quirk Q9)")
+    parser.add_argument("--scan_steps", type=int, default=1,
+                        help="train steps per device dispatch (lax.scan "
+                             "over stacked cached batches; needs "
+                             "--device_cache). Cuts per-step host round "
+                             "trips K-fold — the bottleneck on degraded "
+                             "or high-latency device links")
     return parser
 
 
@@ -159,15 +165,29 @@ def main(argv=None) -> int:
         default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay),
         args.grad_accum,
     )
+    if args.scan_steps > 1 and not args.device_cache:
+        raise SystemExit("--scan_steps needs --device_cache (the stacked "
+                         "batches must already live on device)")
+
+    def _maybe_scan(step):
+        if args.scan_steps <= 1:
+            return step
+        from fdm_tpu.train import make_multi_step
+
+        return make_multi_step(step, needs_rng=True)
+
+    # donate=False on the inner step when scanning: the OUTER scanned
+    # program owns the state donation
+    donate = args.scan_steps <= 1
     if args.train_audio_encoder:
         train_params = _place({"fdm": fdm_params, "audio": frontend.params})
         tx = frozen_aware_optimizer(base_tx, train_params)
         state = create_train_state(train_params, tx, ema_decay=args.ema_decay)
         if mesh is not None and not args.fsdp:
             state = replicate_state(state, mesh)
-        step = make_stage2_e2e_step(
-            ld, tx, vq_params, ema_decay=args.ema_decay
-        )
+        step = _maybe_scan(make_stage2_e2e_step(
+            ld, tx, vq_params, donate=donate, ema_decay=args.ema_decay
+        ))
     else:
         tx = base_tx
         state = create_train_state(
@@ -175,9 +195,9 @@ def main(argv=None) -> int:
         )
         if mesh is not None and not args.fsdp:
             state = replicate_state(state, mesh)
-        step = make_stage2_step(
-            ld, tx, vq_params, ema_decay=args.ema_decay
-        )
+        step = _maybe_scan(make_stage2_step(
+            ld, tx, vq_params, donate=donate, ema_decay=args.ema_decay
+        ))
 
     out_dir = ensure_dir(args.output_dir)
     ckpt = Checkpointer(out_dir + "/orbax")
@@ -214,13 +234,16 @@ def main(argv=None) -> int:
               f"{cache.nbytes / 1e9:.2f} GB pinned")
 
     for epoch in range(start_epoch + 1, epochs + 1):
-        data = (
-            cache.epoch(args.seed + epoch) if cache is not None else (
+        if cache is not None and args.scan_steps > 1:
+            data = cache.epoch_stacked(args.seed + epoch, args.scan_steps)
+        elif cache is not None:
+            data = cache.epoch(args.seed + epoch)
+        else:
+            data = (
                 _prepare(b, cfg, flame, frontend,
                          keep_audio=args.train_audio_encoder)
                 for b in _batches(splits.train, cfg, args, epoch)
             )
-        )
         means = trainer.run_epoch(data, epoch)
         save_progress(out_dir, epoch, int(trainer.state.step))
         print(f"epoch {epoch}: loss={means.get('loss', float('nan')):.5f} "

@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="store cached float32 data as fp16 (halves "
                              "HBM; matches the reference loaders' own "
                              "fp16 round-trip, quirk Q9)")
+    parser.add_argument("--scan_steps", type=int, default=1,
+                        help="train steps per device dispatch (lax.scan "
+                             "over stacked cached batches; needs "
+                             "--device_cache). Cuts per-step host round "
+                             "trips K-fold — the bottleneck on degraded "
+                             "or high-latency device links")
     return parser
 
 
@@ -121,7 +127,21 @@ def main(argv=None) -> int:
     state = create_train_state(vq_params, tx, ema_decay=args.ema_decay)
     if mesh is not None and not args.fsdp:
         state = replicate_state(state, mesh)
-    step = make_stage1_step(ld, tx, ema_decay=args.ema_decay)
+    if args.scan_steps > 1 and not args.device_cache:
+        raise SystemExit("--scan_steps needs --device_cache (the stacked "
+                         "batches must already live on device)")
+    if args.scan_steps > 1:
+        from fdm_tpu.train import make_multi_step
+
+        # donate=False on the inner step: the OUTER scanned program owns
+        # the state donation
+        step = make_multi_step(
+            make_stage1_step(ld, tx, donate=False,
+                             ema_decay=args.ema_decay),
+            needs_rng=False,
+        )
+    else:
+        step = make_stage1_step(ld, tx, ema_decay=args.ema_decay)
     # built ONCE: re-jitting per eval epoch would discard the trace cache
     # and re-trace (or fully recompile on a cold disk cache) every bucket
     # shape at every evaluation
@@ -165,12 +185,15 @@ def main(argv=None) -> int:
               f"{cache.nbytes / 1e9:.2f} GB pinned")
 
     for epoch in range(start_epoch + 1, epochs + 1):
-        data = (
-            cache.epoch(args.seed + epoch) if cache is not None else (
+        if cache is not None and args.scan_steps > 1:
+            data = cache.epoch_stacked(args.seed + epoch, args.scan_steps)
+        elif cache is not None:
+            data = cache.epoch(args.seed + epoch)
+        else:
+            data = (
                 decode_motion(cfg, b, flame)
                 for b in _batches(splits.train, cfg, args, epoch_seed=epoch)
             )
-        )
         means = trainer.run_epoch(data, epoch)
         save_progress(out_dir, epoch, int(trainer.state.step))
         print(f"epoch {epoch}: loss={means.get('loss', float('nan')):.5f} "

@@ -82,6 +82,55 @@ class DeviceBatchCache:
         self.num_batches = len(cached)
         self.nbytes = total
 
+    def _shape_key(self, i: int):
+        b = self._batches[i]
+        return tuple(sorted(
+            (k, tuple(v.shape), str(v.dtype)) for k, v in b.items()
+        ))
+
+    def stacked_chunks(self, k: int) -> None:
+        """Pre-stack the cached batches into (K, ...) chunks of same-shape
+        batches for multi-step dispatch (train.make_multi_step). Chunk
+        membership is fixed (like batch composition); epochs permute chunk
+        order. Stacking happens ONCE, on device; remainder groups become
+        one shorter chunk each, so at most two program shapes compile per
+        bucket group."""
+        import jax.numpy as jnp
+
+        if getattr(self, "_chunks", None) is not None and self._chunk_k == k:
+            return
+        groups: Dict = {}
+        for i in range(self.num_batches):
+            groups.setdefault(self._shape_key(i), []).append(i)
+        chunks = []
+        for idxs in groups.values():
+            for s in range(0, len(idxs), k):
+                part = idxs[s : s + k]
+                stacked = {
+                    key: jnp.stack([self._batches[i][key] for i in part])
+                    for key in self._batches[part[0]]
+                }
+                back = self._cast_back[part[0]]
+                chunks.append((stacked, len(part), back))
+        self._chunks = chunks
+        self._chunk_k = k
+
+    def epoch_stacked(self, seed: int, k: int) -> Iterator:
+        """Yield (stacked_batches, n_steps) chunks covering every cached
+        batch once, order shuffled by `seed`; fp16 leaves cast back."""
+        import jax.numpy as jnp
+
+        self.stacked_chunks(k)
+        order = np.random.RandomState(seed).permutation(len(self._chunks))
+        for i in order:
+            stacked, n, back = self._chunks[int(i)]
+            if back:
+                stacked = {
+                    key: (v.astype(jnp.float32) if key in back else v)
+                    for key, v in stacked.items()
+                }
+            yield stacked, n
+
     def epoch(self, seed: int) -> Iterator[Dict]:
         """Yield every cached batch once, order shuffled by `seed`; fp16
         leaves are cast back to fp32 on device."""

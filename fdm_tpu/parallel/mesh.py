@@ -56,16 +56,24 @@ def seq_sharding(mesh: Mesh, axis: str = "seq") -> NamedSharding:
     return NamedSharding(mesh, P(None, axis))
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+def shard_batch(batch, mesh: Mesh, axis: str = "data",
+                scan_leading: bool = False):
     """Device-put every array in a batch pytree with its leading axis sharded
     across the mesh. Leading dim must divide by the mesh axis size.
+
+    `scan_leading`: the pytree is a (K, B, ...) multi-step stack
+    (train.make_multi_step) — the SECOND axis is the batch; the leading
+    scan axis stays replicated.
 
     Single-process: a plain device_put with the named sharding. Multi-host:
     each process passes only its LOCAL rows (see local_batch_slice) and the
     global array is assembled with make_array_from_process_local_data —
     device_put with a global sharding cannot stitch per-host shards and
     would feed wrong rows or crash."""
-    sharding = batch_sharding(mesh, axis)
+    sharding = (
+        NamedSharding(mesh, P(None, axis)) if scan_leading
+        else batch_sharding(mesh, axis)
+    )
     if jax.process_count() > 1:
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(sharding, x),

@@ -5,6 +5,7 @@ from fdm_tpu.train.loop import (
     default_optimizer,
     freeze_audio_conv_mask,
     frozen_aware_optimizer,
+    make_multi_step,
     make_stage1_step,
     make_stage2_step,
     make_stage2_e2e_step,
@@ -20,6 +21,7 @@ __all__ = [
     "accumulating_optimizer",
     "create_train_state",
     "default_optimizer",
+    "make_multi_step",
     "make_stage1_step",
     "make_stage2_step",
     "replicate_state",

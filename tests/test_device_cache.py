@@ -90,6 +90,36 @@ def test_half_mode_casts_back_to_fp32_with_fp16_error():
         )
 
 
+def test_epoch_stacked_covers_every_batch_once():
+    """Stacked chunks for multi-step dispatch: same-shape batches grouped,
+    chunk sizes <= K, every cached batch appears exactly once per epoch,
+    fp16 leaves cast back."""
+    import numpy as np
+
+    cfg, recs = _records(n=9)
+    cache = DeviceBatchCache.from_records(
+        recs, 2, lambda b: b, bucket=8, max_frames=16,
+        fps=cfg.dataset.fps, include_audio=True, seed=0,
+        half=True, half_keys=("motion",),
+    )
+    singles = {np.asarray(b["motion"]).tobytes() for b in cache.epoch(0)}
+    seen = []
+    total = 0
+    for stacked, n in cache.epoch_stacked(3, k=2):
+        assert n <= 2
+        m = np.asarray(stacked["motion"])
+        assert m.dtype == np.float32  # cast back on yield
+        assert m.shape[0] == n
+        total += n
+        for row in range(n):
+            seen.append(
+                np.asarray({k: v[row] for k, v in stacked.items()}
+                           ["motion"]).tobytes()
+            )
+    assert total == cache.num_batches
+    assert set(seen) == singles and len(seen) == len(singles)
+
+
 def test_max_bytes_guard_refuses_oversized_cache():
     cfg, recs = _records()
     with pytest.raises(ValueError, match="max_bytes"):

@@ -300,6 +300,98 @@ def test_stage2_e2e_trains_audio_encoder_with_frozen_conv():
     )
 
 
+def test_multi_step_scan_equals_sequential_steps():
+    """make_multi_step (K steps per dispatch via lax.scan) must produce the
+    SAME training trajectory as K sequential step calls — same params, same
+    optimizer state, and metrics equal to the per-step mean."""
+    import optax
+
+    from fdm_tpu.train import make_multi_step
+
+    cfg = tiny_pipeline()
+    ld, vq_params, *_ = init_pipeline(cfg)
+    tx = optax.adamw(1e-3)
+    step = make_stage1_step(ld, tx, donate=False)
+
+    K, B, T = 3, 2, 8
+    batches = []
+    for i in range(K):
+        k = jax.random.PRNGKey(100 + i)
+        batches.append({
+            "motion": jax.random.normal(k, (B, T, cfg.vqvae.in_dim)) * 0.1,
+            "template": jnp.zeros((B, 1, cfg.vqvae.in_dim)),
+            "emotion_one_hot": jnp.eye(7)[jnp.arange(B) % 7],
+        })
+    stacked = {
+        key: jnp.stack([b[key] for b in batches]) for key in batches[0]
+    }
+
+    state_seq = create_train_state(vq_params, tx)
+    per_step = []
+    for b in batches:
+        state_seq, m = step(state_seq, b)
+        per_step.append(m)
+
+    multi = make_multi_step(step, needs_rng=False)
+    state_scan, m_scan = multi(
+        create_train_state(vq_params, tx), stacked, jax.random.PRNGKey(0)
+    )
+
+    assert int(state_scan.step) == int(state_seq.step) == K
+    for a, b in zip(jax.tree_util.tree_leaves(state_seq.params),
+                    jax.tree_util.tree_leaves(state_scan.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
+    for k, v in m_scan.items():
+        want = np.mean([float(m[k]) for m in per_step])
+        np.testing.assert_allclose(float(v), want, rtol=1e-5)
+
+
+def test_multi_step_rng_schedule_matches_sequential_split():
+    """The rng-consuming variant splits one carried key per inner step —
+    identical to a host loop doing key, sub = split(key) per step."""
+    import optax
+
+    from fdm_tpu.train import make_multi_step
+
+    cfg = tiny_pipeline()
+    (ld, vq_params, fdm_params, motion, template, hidden, style,
+     emo) = init_pipeline(cfg)
+    tx = optax.sgd(0.01)
+    step = make_stage2_step(ld, tx, vq_params, donate=False)
+
+    batches = []
+    for i in range(2):
+        batches.append({
+            "motion": motion + 0.01 * i, "template": template,
+            "audio_hidden": hidden, "style_one_hot": style,
+            "emotion_one_hot": emo,
+        })
+    stacked = {
+        key: jnp.stack([b[key] for b in batches]) for key in batches[0]
+    }
+
+    key0 = jax.random.PRNGKey(42)
+    state_seq = create_train_state(fdm_params, tx)
+    key = key0
+    for b in batches:
+        key, sub = jax.random.split(key)
+        state_seq, _ = step(state_seq, b, sub)
+
+    multi = make_multi_step(step, needs_rng=True)
+    state_scan, _ = multi(create_train_state(fdm_params, tx), stacked, key0)
+    # rtol 5e-4: the scanned program fuses differently from the standalone
+    # step (measured max rel diff ~3e-5 on CPU) — a WRONG key schedule
+    # would produce entirely different dropout/noise draws and parameters,
+    # not ppm-level float noise
+    for a, b in zip(jax.tree_util.tree_leaves(state_seq.params),
+                    jax.tree_util.tree_leaves(state_scan.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        )
+
+
 def test_stage2_e2e_freeze_extractor_cuts_conv_backward_exactly():
     """stage2_train_loss_e2e stops gradients at the conv-feature boundary
     (the reference freezes the extractor unconditionally,

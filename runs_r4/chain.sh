@@ -8,10 +8,10 @@ set -euxo pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
-MEAD_PID=${1:?usage: chain.sh <pid of pipeline_mead2.sh>}
+MEAD_PID=${1:?usage: chain.sh <pid of pipeline_mead3.sh>}
 
 while kill -0 "$MEAD_PID" 2>/dev/null; do sleep 30; done
-grep -q "R4 MEAD2 PIPELINE DONE" runs_r4/pipeline_mead2.log || {
+grep -q "R4 MEAD2 PIPELINE DONE" runs_r4/pipeline_mead3.log || {
   echo "MEAD pipeline did not finish cleanly; stopping the chain"
   exit 1
 }

@@ -174,7 +174,13 @@ def main(argv=None) -> int:
             return step
         from fdm_tpu.train import make_multi_step
 
-        return make_multi_step(step, needs_rng=True)
+        # scan the UNDERLYING jit (vq_params as a traced argument): the
+        # bound step closes over the frozen codec, and scanning the
+        # closure would bake ~the whole codec into the program as HLO
+        # constants (remote compile rejects the payload with HTTP 413)
+        return make_multi_step(
+            step.jitted, needs_rng=True, extra_args=(vq_params,)
+        )
 
     # donate=False on the inner step when scanning: the OUTER scanned
     # program owns the state donation

@@ -262,7 +262,7 @@ def accumulating_optimizer(
     return optax.MultiSteps(tx, every_k_schedule=every)
 
 
-def make_multi_step(step_fn: Callable, needs_rng: bool):
+def make_multi_step(step_fn: Callable, needs_rng: bool, extra_args=()):
     """Scan a train step over K stacked batches in ONE compiled program.
 
     Per-step host dispatch costs one round trip to the device runtime —
@@ -274,22 +274,31 @@ def make_multi_step(step_fn: Callable, needs_rng: bool):
     between steps at all: `lax.scan` the step over a (K, ...) stacked
     batch pytree and pay ONE dispatch per K steps.
 
-    `step_fn` is a plain (state, batch[, key]) -> (state, metrics) step —
-    the make_stage*_step product built with donate=False (the OUTER
-    program donates the state; inner donation annotations would be dead).
-    The key is split once per inner step from the carried key, so K
-    scanned steps consume the same number of fresh subkeys as K separate
-    Trainer iterations. Returns mean metrics over the K steps.
+    `step_fn` is a plain (state, batch[, key][, *extra]) -> (state,
+    metrics) step built with donate=False (the OUTER program donates the
+    state; inner donation annotations would be dead). The key is split
+    once per inner step from the carried key, so K scanned steps consume
+    the same number of fresh subkeys as K separate Trainer iterations.
+    Returns mean metrics over the K steps.
+
+    `extra_args`: device pytrees the step needs beyond (state, batch,
+    key) — e.g. the frozen stage-1 codec of make_stage2_*_step. They
+    MUST come in this way: the bound step that closes over them cannot
+    be scanned, because the closure capture bakes them into the scanned
+    program as HLO constants (a ~200 MB compile payload — the remote
+    compile service rejects it outright with HTTP 413; CLAUDE.md fact 1).
+    Pass `make_stage2_*_step(...).jitted` as step_fn with
+    extra_args=(vq_params,).
     """
 
-    def multi(state, batches, key):
+    def multi(state, batches, key, *extra):
         def body(carry, batch):
             state, key = carry
             if needs_rng:
                 key, sub = jax.random.split(key)
-                state, metrics = step_fn(state, batch, sub)
+                state, metrics = step_fn(state, batch, sub, *extra)
             else:
-                state, metrics = step_fn(state, batch)
+                state, metrics = step_fn(state, batch, *extra)
             return (state, key), metrics
 
         (state, _), metrics = jax.lax.scan(body, (state, key), batches)
@@ -297,7 +306,12 @@ def make_multi_step(step_fn: Callable, needs_rng: bool):
             lambda m: jnp.mean(m, axis=0), metrics
         )
 
-    return jax.jit(multi, donate_argnums=(0,))
+    multi_jit = jax.jit(multi, donate_argnums=(0,))
+
+    def bound(state, batches, key):
+        return multi_jit(state, batches, key, *extra_args)
+
+    return bound
 
 
 def _compile_step(step: Callable, donate: bool):

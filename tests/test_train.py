@@ -379,7 +379,12 @@ def test_multi_step_rng_schedule_matches_sequential_split():
         key, sub = jax.random.split(key)
         state_seq, _ = step(state_seq, b, sub)
 
-    multi = make_multi_step(step, needs_rng=True)
+    # scan the underlying jit with the frozen codec as an ARGUMENT — the
+    # production wiring (scanning the closure would bake vq_params into
+    # the program as HLO constants)
+    multi = make_multi_step(
+        step.jitted, needs_rng=True, extra_args=(vq_params,)
+    )
     state_scan, _ = multi(create_train_state(fdm_params, tx), stacked, key0)
     # rtol 5e-4: the scanned program fuses differently from the standalone
     # step (measured max rel diff ~3e-5 on CPU) — a WRONG key schedule

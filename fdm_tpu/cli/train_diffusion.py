@@ -206,7 +206,7 @@ def main(argv=None) -> int:
         ))
 
     out_dir = ensure_dir(args.output_dir)
-    ckpt = Checkpointer(out_dir + "/orbax")
+    ckpt = Checkpointer(out_dir + "/orbax", async_save=cfg.train.ckpt_async)
     start_epoch = 0
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(target=state)
@@ -257,6 +257,10 @@ def main(argv=None) -> int:
               f"recon={means.get('recon_loss', float('nan')):.5f} "
               f"steps/s={means['steps_per_sec']:.2f}")
 
+    # always leave a checkpoint at the final step so chunked --resume runs
+    # chain regardless of checkpoint_every alignment
+    if ckpt.latest_step() != int(trainer.state.step):
+        ckpt.save(int(trainer.state.step), trainer.state)
     final = (
         trainer.state.ema_params
         if args.save_ema and trainer.state.ema_params is not None

@@ -152,7 +152,7 @@ def main(argv=None) -> int:
     )
 
     out_dir = ensure_dir(args.output_dir)
-    ckpt = Checkpointer(out_dir + "/orbax")
+    ckpt = Checkpointer(out_dir + "/orbax", async_save=cfg.train.ckpt_async)
     start_epoch = 0
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(target=state)
@@ -207,6 +207,10 @@ def main(argv=None) -> int:
             print(f"epoch {epoch}: val_recon={val:.5f}")
             logger.log_epoch(epoch, {"val_recon": val})
 
+    # always leave a checkpoint at the final step so chunked --resume runs
+    # chain regardless of checkpoint_every alignment
+    if ckpt.latest_step() != int(trainer.state.step):
+        ckpt.save(int(trainer.state.step), trainer.state)
     final = (
         trainer.state.ema_params
         if args.save_ema and trainer.state.ema_params is not None

@@ -150,6 +150,10 @@ class TrainConfig:
     stage2_epochs: int = 100
     eval_every: int = 5
     checkpoint_every: int = 5
+    # async saves snapshot the full train state on device first; with a
+    # pinned dataset cache that extra copy can OOM the chip — set false to
+    # stream straight to host instead (blocks training for the transfer)
+    ckpt_async: bool = True
     seed: int = 0
     frame_bucket: int = 64          # pad sequence length to multiples of this
     max_frames: int = 600

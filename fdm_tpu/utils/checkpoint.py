@@ -35,6 +35,16 @@ def _copy_arrays(arrs: List[jax.Array]) -> List[jax.Array]:
     return [jnp.copy(a) for a in arrs]
 
 
+def _device_free_bytes() -> Optional[int]:
+    """Free HBM on the first local device, or None if the backend doesn't
+    expose memory stats (e.g. CPU)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats["bytes_limit"]) - int(stats["bytes_in_use"])
+    except Exception:
+        return None
+
+
 class Checkpointer:
     def __init__(self, directory: str, max_to_keep: int = 5,
                  async_save: bool = True):
@@ -72,11 +82,25 @@ class Checkpointer:
         # the async path device_gets the snapshot on this host, which needs
         # every shard addressable; under true multi-host sharding fall back
         # to the synchronous orbax path (which handles distributed arrays)
+        leaves_all = jax.tree_util.tree_leaves(state)
         multihost = any(
             isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
-            for leaf in jax.tree_util.tree_leaves(state)
+            for leaf in leaves_all
         )
-        if not self.async_save or multihost:
+        # the on-device snapshot needs a second copy of the whole state in
+        # HBM; when the chip doesn't have that headroom (e.g. a pinned
+        # dataset cache), the copy OOMs with a DEFERRED error that surfaces
+        # at an unrelated later device_get — check first and stream
+        # synchronously instead
+        no_headroom = False
+        if self.async_save and not multihost:
+            state_bytes = sum(
+                leaf.nbytes for leaf in leaves_all
+                if isinstance(leaf, jax.Array)
+            )
+            free = _device_free_bytes()
+            no_headroom = free is not None and free < state_bytes * 1.15
+        if not self.async_save or multihost or no_headroom:
             self._join()
             self.manager.save(step, args=ocp.args.StandardSave(state))
             self.manager.wait_until_finished()

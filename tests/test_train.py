@@ -171,6 +171,37 @@ def test_async_checkpoint_snapshot_survives_donation(tmp_path):
     ckpt.close()
 
 
+def test_sync_checkpoint_paths(tmp_path, monkeypatch):
+    """async_save=False and the low-HBM-headroom fallback both stream the
+    state synchronously (no snapshot thread) and round-trip correctly."""
+    import fdm_tpu.utils.checkpoint as ckpt_mod
+
+    cfg = tiny_pipeline()
+    ld, vq_params, *_ = init_pipeline(cfg)
+    tx = default_optimizer(1e-3)
+    state = create_train_state(vq_params, tx)
+    step = make_stage1_step(ld, tx, donate=False)
+    batch = _stage1_batch(cfg)
+    state, _ = step(state, batch)
+
+    # explicit sync
+    ckpt = ckpt_mod.Checkpointer(str(tmp_path / "a"), async_save=False)
+    ckpt.save(int(state.step), state)
+    assert ckpt._thread is None
+    restored = ckpt.restore(target=state)
+    assert int(restored.step) == int(state.step)
+    ckpt.close()
+
+    # async requested, but no headroom for the on-device snapshot -> the
+    # save must fall back to the synchronous path instead of OOMing
+    monkeypatch.setattr(ckpt_mod, "_device_free_bytes", lambda: 1)
+    ckpt2 = ckpt_mod.Checkpointer(str(tmp_path / "b"), async_save=True)
+    ckpt2.save(int(state.step), state)
+    assert ckpt2._thread is None
+    assert ckpt2.latest_step() == int(state.step)
+    ckpt2.close()
+
+
 def test_ema_and_grad_accumulation():
     import optax
 

@@ -3,12 +3,18 @@
 # item 4: the round-3 BIWI/VOCASET scripts were committed with zero runs).
 # Usage: pipeline_family.sh <biwi|vocaset>
 #
-# Same regime as pipeline_mead.sh (batch-8 DP, redesigned lip-region
+# Same regime as pipeline_mead4.sh (batch-8 DP, redesigned lip-region
 # articulation map, per-chunk correlation checkpoints) with one addition:
 # EARLY STOP — the moment a chunk's correlation gate reaches delta >= 0.5
 # the stage-2 loop ends and the final artifact is written, so a model that
-# learns in 300 epochs does not burn the full 1200-epoch budget (wall
+# learns in 300 epochs does not burn the full 600-epoch budget (wall
 # clock is the scarce resource; both families run after MEAD).
+#
+# v4 sync: --scan_steps 16 amortizes tunnel dispatch latency 16x (14 vs
+# 1.5 steps/s measured on MEAD stage-2 during a degraded-tunnel window);
+# checkpoints are chunk-aligned and synchronous (train.ckpt_async=false)
+# because the async on-device snapshot OOMs next to a pinned dataset
+# cache; the CLIs guarantee an end-of-run save for --resume chaining.
 #
 # Shell hygiene per ADVICE r3: pipefail, explicit PYTHONPATH (keeping the
 # axon sitecustomize entry), direct redirects (no `| tee` dead guards),
@@ -21,9 +27,10 @@ DS=${1:?usage: pipeline_family.sh <biwi|vocaset>}
 R=runs_r4/$DS
 CK=checkpoints/r4corr/$DS
 BS=8
-# Sizes from the MEAD attempt-1 postmortem (the codec MEMORIZES small
-# clip sets: train-split roundtrip corr 0.976 vs test ~0 at 128 clips)
-# bounded by device memory — the vertex-space datasets train through the
+# Sizes chosen for generalization headroom (the MEAD attempt-1
+# "memorization" reading was later traced to a split-universe eval bug —
+# runs_r4/NOTES.md — but more data only helps) bounded by device
+# memory — the vertex-space datasets train through the
 # HBM-resident cache (--device_cache), which removes the ~50 MB/s
 # host->device bound that pinned the round-3 runs to 3 steps/s:
 #   vocaset: 256 clips x 120 x 15069 fp32 ~= 1.9 GB   (fp32 cache)
@@ -41,9 +48,9 @@ SYN="--dataset $DS --synthetic --synthetic_mode correlated --synthetic_size $SIZ
 
 # ---- stage 1: VQ-VAE codec ----
 python -u -m fdm_tpu train-vqvae $SYN --epochs $S1_EPOCHS \
-  --set train.batch_size=$BS --device_cache $HALF \
+  --set train.batch_size=$BS --device_cache $HALF --scan_steps 16 \
   --set train.log_dir=$R/tb_stage1 --set train.eval_every=250 \
-  --set train.checkpoint_every=500 \
+  --set train.checkpoint_every=500 --set train.ckpt_async=false \
   --output_dir $CK/stage1 --resume \
   > $R/stage1_stdout.log 2>&1
 
@@ -76,9 +83,9 @@ tail -1 $R/correlation_stage1_train_stdout.log || true
 PASSED=0
 for EP in $CHUNKS; do
   python -u -m fdm_tpu train-diffusion $SYN --epochs $EP \
-    --set train.batch_size=$BS --device_cache $HALF \
+    --set train.batch_size=$BS --device_cache $HALF --scan_steps 16 \
     --set train.log_dir=$R/tb_stage2 --set train.eval_every=100 \
-    --set train.checkpoint_every=300 \
+    --set train.checkpoint_every=150 --set train.ckpt_async=false \
     --stage1 $CK/stage1/${DS}_vqvae_params.msgpack \
     --train_audio_encoder --output_dir $CK/stage2 --resume \
     >> $R/stage2_stdout.log 2>&1

@@ -209,7 +209,22 @@ def main(argv=None) -> int:
     ckpt = Checkpointer(out_dir + "/orbax", async_save=cfg.train.ckpt_async)
     start_epoch = 0
     if args.resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(target=state)
+        restored = ckpt.restore(target=state)
+        # the restore materializes fresh device buffers; the init-time
+        # params stay pinned in HBM through fdm_params / frontend.params
+        # (~1.4 GB of dead HuBERT weights on the e2e path — the e2e step
+        # reads weights from the train state only). Resumed runs otherwise
+        # sit one dead parameter set above the fresh-run HBM watermark and
+        # OOM where a fresh run fits (observed: deferred RESOURCE_EXHAUSTED
+        # one epoch after resume). Delete the stale buffers explicitly.
+        if args.train_audio_encoder:
+            for leaf in jax.tree_util.tree_leaves(state):
+                if isinstance(leaf, jax.Array):
+                    leaf.delete()
+            frontend.params = None
+            train_params = None
+        fdm_params = None
+        state = restored
         start_epoch = resume_start_epoch(out_dir, int(state.step))
         print(f"resumed from step {int(state.step)} "
               f"(epoch {start_epoch}/{epochs})")

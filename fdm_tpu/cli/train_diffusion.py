@@ -179,7 +179,11 @@ def main(argv=None) -> int:
         # closure would bake ~the whole codec into the program as HLO
         # constants (remote compile rejects the payload with HTTP 413)
         return make_multi_step(
-            step.jitted, needs_rng=True, extra_args=(vq_params,)
+            step.jitted, needs_rng=True, extra_args=(vq_params,),
+            cast_f32_keys=(
+                ("motion", "template", "audio")
+                if args.device_cache_half else ()
+            ),
         )
 
     # donate=False on the inner step when scanning: the OUTER scanned
@@ -256,7 +260,11 @@ def main(argv=None) -> int:
 
     for epoch in range(start_epoch + 1, epochs + 1):
         if cache is not None and args.scan_steps > 1:
-            data = cache.epoch_stacked(args.seed + epoch, args.scan_steps)
+            data = cache.epoch_stacked(
+                args.seed + epoch, args.scan_steps,
+                cast_back=not args.device_cache_half,
+                release_batches=True,
+            )
         elif cache is not None:
             data = cache.epoch(args.seed + epoch)
         else:

@@ -139,6 +139,10 @@ def main(argv=None) -> int:
             make_stage1_step(ld, tx, donate=False,
                              ema_decay=args.ema_decay),
             needs_rng=False,
+            cast_f32_keys=(
+                ("motion", "template", "audio")
+                if args.device_cache_half else ()
+            ),
         )
     else:
         step = make_stage1_step(ld, tx, ema_decay=args.ema_decay)
@@ -186,7 +190,11 @@ def main(argv=None) -> int:
 
     for epoch in range(start_epoch + 1, epochs + 1):
         if cache is not None and args.scan_steps > 1:
-            data = cache.epoch_stacked(args.seed + epoch, args.scan_steps)
+            data = cache.epoch_stacked(
+                args.seed + epoch, args.scan_steps,
+                cast_back=not args.device_cache_half,
+                release_batches=True,
+            )
         elif cache is not None:
             data = cache.epoch(args.seed + epoch)
         else:

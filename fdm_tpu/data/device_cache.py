@@ -88,17 +88,31 @@ class DeviceBatchCache:
             (k, tuple(v.shape), str(v.dtype)) for k, v in b.items()
         ))
 
-    def stacked_chunks(self, k: int) -> None:
+    def stacked_chunks(self, k: int, release_batches: bool = False) -> None:
         """Pre-stack the cached batches into (K, ...) chunks of same-shape
         batches for multi-step dispatch (train.make_multi_step). Chunk
         membership is fixed (like batch composition); epochs permute chunk
         order. Stacking happens ONCE, on device; remainder groups become
         one shorter chunk each, so at most two program shapes compile per
-        bucket group."""
+        bucket group.
+
+        `release_batches`: the stacked chunks are COPIES — a caller that
+        commits to stacked dispatch otherwise pins the whole dataset in
+        HBM twice (1.85 GB of dead per-batch buffers in the full-size MEAD
+        rehearsal, the margin that OOMed the resumed stage-2 run). When
+        set, the per-batch device buffers are deleted after stacking and
+        `epoch()` becomes unavailable."""
+        if getattr(self, "_chunks", None) is not None and self._chunk_k == k:
+            if release_batches:
+                self._release_batches()
+            return
         import jax.numpy as jnp
 
-        if getattr(self, "_chunks", None) is not None and self._chunk_k == k:
-            return
+        if self._batches is None:
+            raise RuntimeError(
+                "per-batch buffers were released; stacked_chunks can only "
+                "re-stack with the same k"
+            )
         groups: Dict = {}
         for i in range(self.num_batches):
             groups.setdefault(self._shape_key(i), []).append(i)
@@ -114,17 +128,40 @@ class DeviceBatchCache:
                 chunks.append((stacked, len(part), back))
         self._chunks = chunks
         self._chunk_k = k
+        if release_batches:
+            self._release_batches()
 
-    def epoch_stacked(self, seed: int, k: int) -> Iterator:
+    def _release_batches(self) -> None:
+        import jax
+
+        if self._batches is None:
+            return
+        for batch in self._batches:
+            for v in batch.values():
+                if isinstance(v, jax.Array):
+                    v.delete()
+        self._batches = None
+
+    def epoch_stacked(
+        self, seed: int, k: int, cast_back: bool = True,
+        release_batches: bool = False,
+    ) -> Iterator:
         """Yield (stacked_batches, n_steps) chunks covering every cached
-        batch once, order shuffled by `seed`; fp16 leaves cast back."""
+        batch once, order shuffled by `seed`.
+
+        `cast_back=True` casts fp16 leaves to fp32 at yield time. With
+        multi-chunk dispatch in flight that materializes every in-flight
+        chunk at fp32 (~2x the whole dataset in transients); pass
+        cast_back=False and let the scanned step body cast its per-step
+        SLICE instead (train.make_multi_step's cast_f32_keys), bounding
+        the fp32 transient to one batch."""
         import jax.numpy as jnp
 
-        self.stacked_chunks(k)
+        self.stacked_chunks(k, release_batches=release_batches)
         order = np.random.RandomState(seed).permutation(len(self._chunks))
         for i in order:
             stacked, n, back = self._chunks[int(i)]
-            if back:
+            if cast_back and back:
                 stacked = {
                     key: (v.astype(jnp.float32) if key in back else v)
                     for key, v in stacked.items()
@@ -136,6 +173,11 @@ class DeviceBatchCache:
         leaves are cast back to fp32 on device."""
         import jax.numpy as jnp
 
+        if self._batches is None:
+            raise RuntimeError(
+                "per-batch buffers were released by "
+                "stacked_chunks(release_batches=True); use epoch_stacked"
+            )
         order = np.random.RandomState(seed).permutation(self.num_batches)
         for i in order:
             batch = self._batches[int(i)]

@@ -262,7 +262,8 @@ def accumulating_optimizer(
     return optax.MultiSteps(tx, every_k_schedule=every)
 
 
-def make_multi_step(step_fn: Callable, needs_rng: bool, extra_args=()):
+def make_multi_step(step_fn: Callable, needs_rng: bool, extra_args=(),
+                    cast_f32_keys=()):
     """Scan a train step over K stacked batches in ONE compiled program.
 
     Per-step host dispatch costs one round trip to the device runtime —
@@ -289,11 +290,26 @@ def make_multi_step(step_fn: Callable, needs_rng: bool, extra_args=()):
     compile service rejects it outright with HTTP 413; CLAUDE.md fact 1).
     Pass `make_stage2_*_step(...).jitted` as step_fn with
     extra_args=(vq_params,).
+
+    `cast_f32_keys`: batch keys stored fp16 by the device cache
+    (DeviceBatchCache half=True) to cast to fp32 INSIDE the scan body.
+    Casting whole stacked chunks at dispatch time materializes every
+    in-flight chunk at fp32 — with async dispatch that is ~2x the whole
+    dataset in transients (the allocation that OOMed the resumed
+    full-size stage-2 rehearsal); casting the per-step slice here bounds
+    the fp32 transient to one batch inside the compiled program.
     """
 
     def multi(state, batches, key, *extra):
         def body(carry, batch):
             state, key = carry
+            if cast_f32_keys:
+                batch = {
+                    k: (v.astype(jnp.float32)
+                        if k in cast_f32_keys and v.dtype == jnp.float16
+                        else v)
+                    for k, v in batch.items()
+                }
             if needs_rng:
                 key, sub = jax.random.split(key)
                 state, metrics = step_fn(state, batch, sub, *extra)

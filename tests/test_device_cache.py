@@ -133,3 +133,35 @@ def test_max_bytes_guard_refuses_oversized_cache():
 def test_empty_cache_raises():
     with pytest.raises(ValueError, match="zero batches"):
         DeviceBatchCache([])
+
+
+def test_epoch_stacked_release_and_raw_fp16_yield():
+    """The scan-dispatch memory regime: cast_back=False yields the stored
+    fp16 leaves untouched (the scan body casts its per-step slice), and
+    release_batches=True frees the per-batch device buffers — the stacked
+    copies otherwise pin the dataset in HBM twice. epoch() must then fail
+    loudly rather than iterate deleted buffers."""
+    import numpy as np
+
+    cfg, recs = _records(n=6)
+    cache = DeviceBatchCache.from_records(
+        recs, 2, lambda b: b, bucket=8, max_frames=16,
+        fps=cfg.dataset.fps, include_audio=True, seed=0,
+        half=True, half_keys=("motion",),
+    )
+    fp32_rows = {np.asarray(b["motion"]).astype(np.float16).tobytes()
+                 for b in cache.epoch(0)}
+    seen = set()
+    for stacked, n in cache.epoch_stacked(
+        1, k=2, cast_back=False, release_batches=True
+    ):
+        m = np.asarray(stacked["motion"])
+        assert m.dtype == np.float16  # raw storage dtype, no yield cast
+        for row in range(n):
+            seen.add(m[row].tobytes())
+    assert seen == fp32_rows
+    # released: per-batch iteration is gone, stacked epochs still work
+    with pytest.raises(RuntimeError, match="released"):
+        next(cache.epoch(1))
+    again = sum(n for _, n in cache.epoch_stacked(2, k=2, cast_back=False))
+    assert again == cache.num_batches

@@ -623,3 +623,53 @@ def test_step_logging_is_buffered_not_per_step():
     # had already run (flush threshold), and step 5's at epoch end
     ran_at = [r for r, _, _ in logger.calls]
     assert ran_at == [2, 2, 4, 4, 5]
+
+
+def test_multi_step_in_body_cast_matches_dispatch_cast():
+    """cast_f32_keys moves the device cache's fp16->fp32 cast inside the
+    scanned body (one per-step slice transient instead of every in-flight
+    chunk at fp32). Same fp16 source bits either way, so the training
+    trajectory must be bit-compatible with casting the whole chunk at
+    dispatch time."""
+    import optax
+
+    from fdm_tpu.train import make_multi_step
+
+    cfg = tiny_pipeline()
+    ld, vq_params, *_ = init_pipeline(cfg)
+    tx = optax.adamw(1e-3)
+    step = make_stage1_step(ld, tx, donate=False)
+
+    K, B, T = 3, 2, 8
+    key = jax.random.PRNGKey(7)
+    stacked_f16 = {
+        "motion": (jax.random.normal(key, (K, B, T, cfg.vqvae.in_dim))
+                   * 0.1).astype(jnp.float16),
+        "template": jnp.zeros((K, B, 1, cfg.vqvae.in_dim), jnp.float16),
+        "emotion_one_hot": jnp.stack(
+            [jnp.eye(7)[jnp.arange(B) % 7]] * K
+        ),
+    }
+    stacked_f32 = {
+        k: (v.astype(jnp.float32) if v.dtype == jnp.float16 else v)
+        for k, v in stacked_f16.items()
+    }
+
+    def fresh_state():
+        # the scanned program donates the state; each call needs its own
+        # param buffers
+        return create_train_state(
+            jax.tree_util.tree_map(jnp.copy, vq_params), tx
+        )
+
+    plain = make_multi_step(step, needs_rng=False)
+    state_a, _ = plain(fresh_state(), stacked_f32, jax.random.PRNGKey(0))
+    casting = make_multi_step(
+        step, needs_rng=False, cast_f32_keys=("motion", "template")
+    )
+    state_b, _ = casting(fresh_state(), stacked_f16, jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )

@@ -1,0 +1,100 @@
+#!/bin/bash
+# Round-4 MEAD correlated rehearsal, attempt 2, v7 runner.
+#
+# The v6 chain died with the VM: checkpoints/ is gitignored, so the round
+# lost the stage-1 codec (650 epochs) and the stage-2 model (epoch 252).
+# Only the committed evidence survived (runs_r4b/correlation_e150.json:
+# matched +0.335 vs mismatched -0.008 with stochastic DDPM-1000 sampling,
+# below the 0.5 gate; the codec roundtrip ceiling is +0.989).
+#
+# v7 reruns the WHOLE chain with two changes:
+#   1. stage-1 also runs on the device-cache + 16-step scanned dispatch
+#      (v4 ran it un-cached at ~1.3 steps/s -- upload-bound over the
+#      ~45 MB/s tunnel: b8 x ~3.6 MB/clip = ~29 MB re-uploaded per step.
+#      The cache uploads the dataset once).
+#   2. the epoch-150 evaluation is a SAMPLER GRID, not a single DDPM-1000
+#      run: deterministic DDIM (and CFG on top) removes the ancestral
+#      sampling noise that attenuates per-clip correlation -- the denoise
+#      loss is 1e-5 by epoch 150, so trajectory stochasticity, not the
+#      learned map, is the suspected gap between 0.335 and the 0.99
+#      codec ceiling. DDPM-1000 (reference parity sampler) is still
+#      reported alongside.
+# Params msgpacks are committed to git as soon as each stage lands so a
+# VM wipe can never again destroy the round's model (driver-side commits,
+# see runs_r4/NOTES.md).
+set -euxo pipefail
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+R4=runs_r4b
+CK=checkpoints/r4corr2
+SIZE=512
+BS=8
+
+mkdir -p $R4 $CK
+
+SYN="--dataset mead --synthetic --synthetic_mode correlated --synthetic_size $SIZE"
+
+# ---- stage 1: EVQ-VAE codec, scan-dispatched ----
+if [ ! -s $CK/stage1/mead_vqvae_params.msgpack ]; then
+  python -u -m fdm_tpu train-vqvae $SYN --epochs 650 \
+    --set train.batch_size=$BS \
+    --device_cache --device_cache_half --scan_steps 16 \
+    --set train.log_dir=$R4/tb_stage1_v7 --set train.eval_every=100 \
+    --set train.checkpoint_every=100 --set train.ckpt_async=false \
+    --output_dir $CK/stage1 --resume \
+    > $R4/stage1_v7_stdout.log 2>&1
+fi
+
+# ---- stage-1 gate: VQ round-trip must track GT motion temporally ----
+if [ ! -s $R4/correlation_stage1_v7.json ]; then
+  python -u -m fdm_tpu sample-vqvae $SYN \
+    --params $CK/stage1/mead_vqvae_params.msgpack \
+    --output_dir /tmp/r4c2_vq > $R4/sample_vqvae_stdout.log 2>&1
+  python -u -m fdm_tpu correlation $SYN \
+    --pred_path /tmp/r4c2_vq --min_delta 0.5 \
+    --json_out $R4/correlation_stage1_v7.json \
+    > $R4/correlation_stage1_v7_stdout.log 2>&1
+fi
+
+# ---- stage 2 in 150/250 epoch chunks, sampler grid after each ----
+PASSED=0
+for EP in 150 250 350; do
+  python -u -m fdm_tpu train-diffusion $SYN --epochs $EP \
+    --set train.batch_size=$BS \
+    --device_cache --device_cache_half --scan_steps 16 \
+    --set train.log_dir=$R4/tb_stage2_v7 --set train.eval_every=50 \
+    --set train.checkpoint_every=50 --set train.ckpt_async=false \
+    --stage1 $CK/stage1/mead_vqvae_params.msgpack \
+    --train_audio_encoder --output_dir $CK/stage2 --resume \
+    >> $R4/stage2_v7_stdout.log 2>&1
+
+  # cheapest (and expected-best) first: deterministic DDIM-100, then
+  # reference-parity DDPM-1000. Each gets its own correlation record.
+  for GRID in "ddim100:--sampler ddim --steps 100" \
+              "ddpm1000:"; do
+    TAG="${GRID%%:*}"; FLAGS="${GRID#*:}"
+    python -u -m fdm_tpu sample-diffusion $SYN --batch_size 8 $FLAGS \
+      --stage1 $CK/stage1/mead_vqvae_params.msgpack \
+      --stage2 $CK/stage2/mead_fdm_params.msgpack \
+      --audio_params $CK/stage2/mead_audio_params.msgpack \
+      --output_dir /tmp/r4c2_s_${EP}_${TAG} \
+      > $R4/sample_e${EP}_${TAG}_stdout.log 2>&1
+    if python -u -m fdm_tpu correlation $SYN \
+         --pred_path /tmp/r4c2_s_${EP}_${TAG} --min_delta 0.5 \
+         --json_out $R4/correlation_e${EP}_${TAG}.json \
+         > $R4/correlation_e${EP}_${TAG}_stdout.log 2>&1; then
+      PASSED=$EP
+      cp $R4/correlation_e${EP}_${TAG}.json $R4/correlation_mead.json
+    fi
+    tail -1 $R4/correlation_e${EP}_${TAG}_stdout.log || true
+  done
+  [ "$PASSED" != "0" ] && break
+done
+
+if [ "$PASSED" = "0" ]; then
+  echo "R4 MEAD v7: correlation gate FAILED (per-epoch records committed)"
+  exit 1
+fi
+test -s $R4/correlation_mead.json || { echo "MISSING correlation_mead.json"; exit 1; }
+echo "R4 MEAD2 PIPELINE DONE (gate passed at epoch $PASSED)"

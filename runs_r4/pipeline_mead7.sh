@@ -22,6 +22,12 @@
 # Params msgpacks are committed to git as soon as each stage lands so a
 # VM wipe can never again destroy the round's model (driver-side commits,
 # see runs_r4/NOTES.md).
+#
+# Mid-run checkpoints are OFF (checkpoint_every=100000): during this
+# session the tunnel fetched the 1.4 GB stage-1 orbax save at ~3.5 MB/s
+# (~7 min per save, measured 20:47-20:53) — insurance that costs as much
+# as retraining the whole stage. The CLIs' guaranteed END-OF-RUN save is
+# the resume point; each stage-2 chunk is <=15 min of exposure.
 set -euxo pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -41,7 +47,7 @@ if [ ! -s $CK/stage1/mead_vqvae_params.msgpack ]; then
     --set train.batch_size=$BS \
     --device_cache --device_cache_half --scan_steps 16 \
     --set train.log_dir=$R4/tb_stage1_v7 --set train.eval_every=100 \
-    --set train.checkpoint_every=100 --set train.ckpt_async=false \
+    --set train.checkpoint_every=100000 --set train.ckpt_async=false \
     --output_dir $CK/stage1 --resume \
     > $R4/stage1_v7_stdout.log 2>&1
 fi
@@ -64,7 +70,7 @@ for EP in 150 250 350; do
     --set train.batch_size=$BS \
     --device_cache --device_cache_half --scan_steps 16 \
     --set train.log_dir=$R4/tb_stage2_v7 --set train.eval_every=50 \
-    --set train.checkpoint_every=50 --set train.ckpt_async=false \
+    --set train.checkpoint_every=100000 --set train.ckpt_async=false \
     --stage1 $CK/stage1/mead_vqvae_params.msgpack \
     --train_audio_encoder --output_dir $CK/stage2 --resume \
     >> $R4/stage2_v7_stdout.log 2>&1

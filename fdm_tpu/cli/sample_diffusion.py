@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "padded to the device count and the padding "
                              "rows dropped — outputs are identical to the "
                              "single-device run)")
+    parser.add_argument("--max_clips", type=int, default=0,
+                        help="generate only the first N split records "
+                             "(0 = all) — gate runs need only the clips "
+                             "the correlation CLI will read")
     parser.add_argument("--flame_model", default=None)
     parser.add_argument("--dump_gt_dir", default=None,
                         help="also save each record's ground-truth vertex "
@@ -96,6 +100,8 @@ def main(argv=None) -> int:
     records = splits[args.split]
     if not records:
         raise SystemExit(f"no records in split {args.split!r}")
+    if args.max_clips and len(records) > args.max_clips:
+        records = records[: args.max_clips]
     flame = (
         FlameDecoder(cfg, args.flame_model)
         if cfg.dataset.uses_flame_params else None

@@ -289,14 +289,27 @@ def main(argv=None) -> int:
         if args.save_ema and trainer.state.ema_params is not None
         else trainer.state.params
     )
+    # with EMA on, export BOTH weight sets (raw params + `*_ema` files) so
+    # samplers can be compared on the same run; --save_ema additionally
+    # makes the plain files the EMA set (back-compat)
+    ema = trainer.state.ema_params if not args.save_ema else None
     if args.train_audio_encoder:
         save_params(f"{out_dir}/{cfg.dataset.name}_fdm_params.msgpack",
                     final["fdm"])
         save_params(f"{out_dir}/{cfg.dataset.name}_audio_params.msgpack",
                     final["audio"])
+        if ema is not None:
+            save_params(f"{out_dir}/{cfg.dataset.name}_fdm_params_ema.msgpack",
+                        ema["fdm"])
+            save_params(
+                f"{out_dir}/{cfg.dataset.name}_audio_params_ema.msgpack",
+                ema["audio"])
     else:
         save_params(f"{out_dir}/{cfg.dataset.name}_fdm_params.msgpack",
                     final)
+        if ema is not None:
+            save_params(f"{out_dir}/{cfg.dataset.name}_fdm_params_ema.msgpack",
+                        ema)
     logger.close()
     ckpt.close()
     return 0

@@ -40,15 +40,20 @@ def temporal_corr(a: np.ndarray, b: np.ndarray) -> float:
 
 def correlation_report(
     records: Sequence,
-    pred_dir: str,
+    pred_dir: Optional[str],
     *,
     config=None,
     decode: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     recompute_gt: bool = False,
     max_mismatched: Optional[int] = 32,
+    preds: Optional[dict] = None,
 ) -> dict:
     """Per-clip matched vs mismatched correlations for `<name>.npy`
     predictions in `pred_dir` against `records` (a test split).
+
+    ``preds`` (a {record_name: array} mapping) replaces the on-disk
+    ``pred_dir`` for in-process callers — the correlation CLI's --oracle
+    mode scores the codec roundtrip without a filesystem round trip.
 
     With ``recompute_gt`` (correlated-synthetic mode) the ground truth for
     every (pred_i, audio_j) pair is recomputed from clip j's audio under
@@ -99,12 +104,17 @@ def correlation_report(
 
     results = []
     for i, rec in enumerate(records):
-        path = os.path.join(pred_dir, rec.name + ".npy")
-        if not os.path.exists(path):
-            raise FileNotFoundError(
-                f"no prediction for test record {rec.name!r} at {path}"
-            )
-        pred = np.load(path)
+        if preds is not None:
+            if rec.name not in preds:
+                raise KeyError(f"no prediction for test record {rec.name!r}")
+            pred = np.asarray(preds[rec.name])
+        else:
+            path = os.path.join(pred_dir, rec.name + ".npy")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"no prediction for test record {rec.name!r} at {path}"
+                )
+            pred = np.load(path)
         gt = gt_for(i, i)
         matched = temporal_corr(pred, gt)
         js = np.array([j for j in range(len(records)) if j != i])

@@ -131,3 +131,53 @@ def test_correlation_cli_gate(tmp_path):
     )
     argv[argv.index(perfect)] = const
     assert corr_main(argv) == 1
+
+
+def test_correlation_cli_oracle_matches_sample_vqvae(tmp_path):
+    """--oracle (in-process codec roundtrip) must produce the SAME report
+    as the sample-vqvae CLI + --pred_path two-step: both init the codec
+    from PRNGKey(seed) on the same first-record shapes, so predictions are
+    bit-identical and only the plumbing differs."""
+    from fdm_tpu.cli.correlation import main as corr_main
+    from fdm_tpu.cli.sample_vqvae import main as vq_main
+
+    base = ["--dataset", "mead", "--tiny", "--synthetic",
+            "--synthetic_mode", "correlated", "--synthetic_size", "6"]
+    pred = tmp_path / "vq"
+    assert vq_main(base + ["--output_dir", str(pred)]) == 0
+    disk_out = tmp_path / "disk.json"
+    oracle_out = tmp_path / "oracle.json"
+    assert corr_main(
+        base + ["--pred_path", str(pred), "--json_out", str(disk_out)]
+    ) == 0
+    assert corr_main(
+        base + ["--oracle", "--json_out", str(oracle_out)]
+    ) == 0
+    disk = json.loads(disk_out.read_text())
+    oracle = json.loads(oracle_out.read_text())
+    assert oracle["matched_corr_mean"] == pytest.approx(
+        disk["matched_corr_mean"], abs=1e-5
+    )
+    assert oracle["delta"] == pytest.approx(disk["delta"], abs=1e-5)
+
+
+def test_correlation_cli_requires_pred_path_or_oracle():
+    from fdm_tpu.cli.correlation import main as corr_main
+
+    with pytest.raises(SystemExit):
+        corr_main(["--dataset", "mead", "--tiny", "--synthetic"])
+
+
+def test_correlation_report_preds_mapping():
+    """In-memory predictions (the --oracle plumbing) behave exactly like
+    on-disk ones, including the missing-record error."""
+    args = _Args("biwi")
+    cfg = build_config(args)
+    records = load_splits(cfg, args).test
+    preds = {r.name: r.motion + r.template for r in records}
+    rep = correlation_report(records, None, config=cfg, recompute_gt=True,
+                             preds=preds)
+    assert rep["matched_corr_mean"] > 0.9
+    with pytest.raises(KeyError):
+        correlation_report(records, None, config=cfg, recompute_gt=True,
+                           preds={})

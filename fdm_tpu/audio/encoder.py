@@ -94,6 +94,12 @@ def encoder_config_for(fdm_cfg, allow_tiny: bool = False) -> AudioEncoderConfig:
     try:
         cfg = get_encoder_config(fdm_cfg.audio_encoder)
         if cfg.hidden_size == fdm_cfg.audio_dim:
+            layers = getattr(fdm_cfg, "audio_layers", None)
+            if layers:
+                # layer-truncated named encoder: same conv extractor,
+                # projection, and width — only the transformer depth
+                # shrinks (fdm.audio_layers)
+                cfg = dataclasses.replace(cfg, num_layers=layers)
             return cfg
     except ValueError:
         pass

@@ -72,6 +72,11 @@ class FDMConfig:
     num_layers: int = 8
     audio_encoder: str = "hubert-large"    # "hubert-large" | "wav2vec2-base"
     audio_dim: int = 1024                  # encoder hidden size
+    audio_layers: Optional[int] = None     # truncate the named encoder to
+                                           # this many transformer layers
+                                           # (None = full stack); used by
+                                           # matched-capacity rehearsals and
+                                           # layer-truncated deployments
     audio_pair_factor: int = 2             # 50 Hz -> fps/2 frame pairing (1 = none)
     audio_interp_fps: Optional[int] = None # VOCASET: 50 Hz -> 30 fps linear interp
     tokens_per_frame: int = 8

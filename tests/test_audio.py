@@ -150,6 +150,24 @@ def test_encoder_config_for_guards_tiny_substitution():
     assert full.hidden_size == 1024 and full.num_layers == 24
 
 
+def test_encoder_config_for_layer_truncation():
+    """fdm.audio_layers truncates the named encoder's transformer depth
+    while keeping its width, conv extractor, and layout (used to build
+    matched-capacity audio stacks for convergence rehearsals)."""
+    import dataclasses
+
+    from fdm_tpu.audio.encoder import encoder_config_for
+    from fdm_tpu.configs import get_config
+
+    fdm = dataclasses.replace(get_config("mead").fdm, audio_layers=2)
+    cfg = encoder_config_for(fdm)
+    full = encoder_config_for(get_config("mead").fdm)
+    assert cfg.num_layers == 2
+    assert cfg.hidden_size == full.hidden_size == 1024
+    assert cfg.conv_dim == full.conv_dim
+    assert cfg.do_stable_layer_norm == full.do_stable_layer_norm
+
+
 def test_audio_encoder_remat_matches_plain():
     """nn.remat'd encoder layers: identical hidden states and gradients
     (memory <- FLOPs trade only)."""

@@ -100,8 +100,9 @@ class DeviceBatchCache:
         commits to stacked dispatch otherwise pins the whole dataset in
         HBM twice (1.85 GB of dead per-batch buffers in the full-size MEAD
         rehearsal, the margin that OOMed the resumed stage-2 run). When
-        set, the per-batch device buffers are deleted after stacking and
-        `epoch()` becomes unavailable."""
+        set, the cache's references to the per-batch device buffers are
+        dropped after stacking (freeing every buffer not shared with the
+        caller) and `epoch()` becomes unavailable."""
         if getattr(self, "_chunks", None) is not None and self._chunk_k == k:
             if release_batches:
                 self._release_batches()
@@ -132,14 +133,14 @@ class DeviceBatchCache:
             self._release_batches()
 
     def _release_batches(self) -> None:
-        import jax
-
-        if self._batches is None:
-            return
-        for batch in self._batches:
-            for v in batch.values():
-                if isinstance(v, jax.Array):
-                    v.delete()
+        # drop the references and let refcounting free the device buffers:
+        # an explicit .delete() here destroyed arrays the cache does NOT
+        # own — jnp.asarray/device_put pass already-device-resident inputs
+        # through UNCOPIED, so e.g. FlameDecoder's cached template decode
+        # is the SAME buffer as the cached batch leaf, and deleting it
+        # crashed the next eval ("Array has been deleted") in any
+        # non-`half` cached run (half casts fp32->fp16, which copies and
+        # masked the aliasing)
         self._batches = None
 
     def epoch_stacked(

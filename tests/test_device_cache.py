@@ -165,3 +165,30 @@ def test_epoch_stacked_release_and_raw_fp16_yield():
         next(cache.epoch(1))
     again = sum(n for _, n in cache.epoch_stacked(2, k=2, cast_back=False))
     assert again == cache.num_batches
+
+
+def test_release_spares_shared_device_arrays():
+    """The cache must not destroy buffers it does not own: device-resident
+    inputs pass through jnp.asarray/device_put UNCOPIED, so a leaf shared
+    with the caller (e.g. FlameDecoder's cached template decode, reused by
+    every eval batch) is the SAME buffer as the cached one. The old
+    explicit .delete() in release_batches crashed the next eval of any
+    non-half cached run with "Array has been deleted"."""
+    import jax.numpy as jnp
+
+    cfg, recs = _records(n=4)
+    shared_template = jnp.zeros((1, 1, recs[0].motion.shape[1]))
+
+    def prepare(b):
+        out = dict(b)
+        out["template"] = shared_template  # aliased, like decode_motion
+        return out
+
+    cache = DeviceBatchCache.from_records(
+        recs, 1, prepare, bucket=8, max_frames=16,
+        fps=cfg.dataset.fps, include_audio=False, seed=0,
+    )
+    for _ in cache.epoch_stacked(0, k=2, release_batches=True):
+        pass
+    # the shared array must still be alive and usable after the release
+    assert float(jnp.sum(shared_template + 1.0)) == shared_template.size

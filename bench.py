@@ -459,7 +459,10 @@ def bench_serve(seconds=10.0, clips=24, max_batch=8, steps=50):
     service = AnimationService(
         cfg, max_batch=max_batch, allowed_steps=(None, steps),
     )
-    service.warmup(seconds=(seconds,), batch_sizes=(1, max_batch))
+    # every pow2 batch bucket x the step count the clients will actually
+    # request: an unwarmed intermediate bucket (or the steps=None-only
+    # warmup) compiled on the request path and was the round-4 p95 tail
+    service.warmup(seconds=(seconds,), steps=(steps,))
 
     # one 16-bit PCM mono WAV body, reused by every client
     rng = np.random.default_rng(0)

@@ -125,6 +125,57 @@ def p_losses(
     return loss, x_recon
 
 
+def _per_row_keys(key: jax.Array) -> bool:
+    """True when `key` is a BATCH of per-row PRNG keys rather than one key.
+
+    Single key: raw uint32 (2,) from jax.random.PRNGKey (or a scalar typed
+    key). Per-row: one extra leading dim of size B = shape[0] — each row's
+    noise then depends ONLY on its own key, so a clip's sample is
+    seed-deterministic regardless of what it is co-batched with (the
+    serving layer batches mixed-seed requests on this)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return key.ndim == 1
+    return key.ndim == 2
+
+
+def _split_with_init(key, shape, dtype):
+    """Split off the x_T draw; returns (rest_key, x_init_noise). Handles
+    both a single key (whole-batch stream, bit-identical to the original
+    path) and per-row keys."""
+    if _per_row_keys(key):
+        if key.shape[0] != shape[0]:
+            raise ValueError(
+                f"per-row keys carry leading dim {key.shape[0]} but the "
+                f"sample batch is {shape[0]}"
+            )
+        ks = jax.vmap(jax.random.split)(key)          # (B, 2, ...)
+        rest, init = ks[:, 0], ks[:, 1]
+        x = jax.vmap(
+            lambda k: jax.random.normal(k, shape[1:], dtype=dtype)
+        )(init)
+        return rest, x
+    rest, init = jax.random.split(key)
+    return rest, jax.random.normal(init, shape, dtype=dtype)
+
+
+def _step_key_stream(key, n: int):
+    """Per-step scan keys: (n, ...) for a single key, (n, B, ...) for
+    per-row keys."""
+    if _per_row_keys(key):
+        return jnp.swapaxes(
+            jax.vmap(lambda k: jax.random.split(k, n))(key), 0, 1
+        )
+    return jax.random.split(key, n)
+
+
+def _step_noise(step_key, shape, dtype):
+    if _per_row_keys(step_key):
+        return jax.vmap(
+            lambda k: jax.random.normal(k, shape[1:], dtype=dtype)
+        )(step_key)
+    return jax.random.normal(step_key, shape, dtype=dtype)
+
+
 def ddpm_sample(
     schedule: DiffusionSchedule,
     denoise_fn: DenoiseFn,
@@ -143,6 +194,10 @@ def ddpm_sample(
 
     x_init pins the starting noise x_T (parity/reproducibility runs against
     an external RNG); by default it is drawn from `key`.
+
+    `key` may be one PRNG key (one noise stream for the whole batch,
+    original semantics) or a (B, ...) batch of keys — one independent
+    stream per row (see _per_row_keys).
     """
     total = schedule.num_timesteps
     num_steps = total if num_steps is None else num_steps
@@ -156,21 +211,18 @@ def ddpm_sample(
             "(schedule.num_timesteps); set diffusion.sample_steps to match "
             "a shortened diffusion.timesteps"
         )
-    key, init_key = jax.random.split(key)
-    if x_init is None:
-        x_init = jax.random.normal(init_key, shape, dtype=dtype)
-    else:
-        x_init = jnp.asarray(x_init, dtype)
+    key, x_drawn = _split_with_init(key, shape, dtype)
+    x_init = x_drawn if x_init is None else jnp.asarray(x_init, dtype)
 
     timesteps = jnp.arange(num_steps - 1, -1, -1, dtype=jnp.int32)
-    step_keys = jax.random.split(key, num_steps)
+    step_keys = _step_key_stream(key, num_steps)
 
     def body(x, inp):
         t_scalar, step_key = inp
         t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
         x_recon = denoise_fn(x, t)
         mean, _, log_var = q_posterior(schedule, x_recon, x, t)
-        noise = jax.random.normal(step_key, shape, dtype=dtype)
+        noise = _step_noise(step_key, shape, dtype)
         # no noise on the final (t == 0) step
         nonzero = (t_scalar > 0).astype(dtype)
         x_next = mean + nonzero * jnp.exp(0.5 * log_var) * noise
@@ -227,12 +279,9 @@ def ddim_sample(
     if tail == "reference":
         pairs = pairs[:-1]  # reference discards the last pair's update
 
-    key, init_key = jax.random.split(key)
-    if x_init is None:
-        x_init = jax.random.normal(init_key, shape, dtype=dtype)
-    else:
-        x_init = jnp.asarray(x_init, dtype)
-    step_keys = jax.random.split(key, pairs.shape[0])
+    key, x_drawn = _split_with_init(key, shape, dtype)
+    x_init = x_drawn if x_init is None else jnp.asarray(x_init, dtype)
+    step_keys = _step_key_stream(key, int(pairs.shape[0]))
 
     def body(x, inp):
         pair, step_key = inp
@@ -269,7 +318,7 @@ def ddim_sample(
                 * jnp.sqrt(1 - alpha_bar / alpha_bar_next)
             )
             c = jnp.sqrt(jnp.maximum(1 - alpha_bar_next - sigma**2, 0.0))
-            noise = jax.random.normal(step_key, shape, dtype=dtype)
+            noise = _step_noise(step_key, shape, dtype)
             x_next = (
                 x_recon * jnp.sqrt(alpha_bar_next)
                 + c * pred_noise + sigma * noise

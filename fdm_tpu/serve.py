@@ -210,12 +210,21 @@ class AnimationService:
         with self._stats_lock:
             self.stats[key] += n
 
-    def warmup(self, seconds=(10.0,), batch_sizes=(1,)) -> None:
-        """Precompile the serving programs for the given clip lengths and
-        batch buckets BEFORE the first client arrives (a cold first
-        request pays the sampler compile — measured 23-60 s per shape on
-        remote-compile backends; the persistent compilation cache makes
-        later restarts fast).
+    def warmup(self, seconds=(10.0,), batch_sizes=None,
+               steps=(None,)) -> None:
+        """Precompile the serving programs for the given clip lengths,
+        batch buckets, and step counts BEFORE the first client arrives (a
+        cold first request pays the sampler compile — measured 23-60 s per
+        shape on remote-compile backends; the persistent compilation cache
+        makes later restarts fast).
+
+        batch_sizes=None warms EVERY power-of-two bucket up to max_batch —
+        the only batch shapes _execute can produce — so no live flush,
+        whatever the 30 ms window accumulated, compiles on the request
+        path (an unwarmed intermediate bucket was the round-4 serve-bench
+        p95 tail). `steps` should list the step counts production traffic
+        will request (None = the config default): the scan length is baked
+        into the program, so each distinct count is its own compile.
 
         Builds the batches DIRECTLY (bypassing the queue) so the intended
         (length-bucket, batch-bucket) program compiles deterministically —
@@ -224,32 +233,44 @@ class AnimationService:
         failure instead of reporting success over swallowed errors."""
         from fdm_tpu.cli.common import default_sampler
 
+        if batch_sizes is None:
+            # _execute pads every flush to a power-of-two bucket, so the
+            # reachable batch shapes are the pow2 ladder up to the first
+            # power of two >= max_batch (not max_batch itself)
+            batch_sizes, b = [], 1
+            while b < self.max_batch:
+                batch_sizes.append(b)
+                b *= 2
+            batch_sizes.append(b)
+
         sampler = default_sampler(self.cfg)
         for secs in seconds:
             n = int(secs * self.cfg.dataset.audio_sr)
             for b in batch_sizes:
-                reqs = [
-                    _Pending(
-                        wav=np.zeros(n, np.float32), emotion=None,
-                        style=0, sampler=sampler, steps=None,
-                        cfg_scale=None, seed=0,
-                    )
-                    for _ in range(b)
-                ]
-                for req in reqs:
-                    self._prepare(req)
-                key = (reqs[0].T_pad, sampler, None, None, 0, "float32")
-                self._execute(key, reqs)
-                errors = [r.error for r in reqs if r.error is not None]
-                if errors:
-                    raise RuntimeError(
-                        f"warmup failed at {secs} s x batch {b}: {errors[0]}"
-                    )
-                if reqs[0].batch_size != b:
-                    raise RuntimeError(
-                        f"warmup batch {b} executed as batch "
-                        f"{reqs[0].batch_size}"
-                    )
+                for step in steps:
+                    reqs = [
+                        _Pending(
+                            wav=np.zeros(n, np.float32), emotion=None,
+                            style=0, sampler=sampler, steps=step,
+                            cfg_scale=None, seed=0,
+                        )
+                        for _ in range(b)
+                    ]
+                    for req in reqs:
+                        self._prepare(req)
+                    key = (reqs[0].T_pad, sampler, step, None, "float32")
+                    self._execute(key, reqs)
+                    errors = [r.error for r in reqs if r.error is not None]
+                    if errors:
+                        raise RuntimeError(
+                            f"warmup failed at {secs} s x batch {b}: "
+                            f"{errors[0]}"
+                        )
+                    if reqs[0].batch_size != b:
+                        raise RuntimeError(
+                            f"warmup batch {b} executed as batch "
+                            f"{reqs[0].batch_size}"
+                        )
 
     # ---------------- request side ----------------
 
@@ -263,14 +284,13 @@ class AnimationService:
 
         Raises RuntimeError on worker-side failure or timeout.
 
-        Reproducibility semantics: `seed` selects the noise stream of the
-        DEVICE CALL, and the sampler draws one (B, L, C) stream per call —
-        so a request's output is bit-reproducible only for the same batch
-        composition (same co-batched requests, same slot). Same-seed
-        requests never cross-contaminate (seed is part of the batch group
-        key), but a seeded request served solo and the same request served
-        co-batched can differ. For bit-exact outputs run with
-        --max_batch 1 or replay through the demo CLI."""
+        Reproducibility semantics: every request gets its OWN per-row
+        noise stream keyed by `seed` (diffusion/gaussian.py per-row keys),
+        so mixed-seed requests batch together and a request's noise never
+        depends on what it is co-batched with. The sample is therefore
+        seed-deterministic up to float-level variation from batch-shape-
+        dependent XLA scheduling (padding/bucket size); for bit-exact
+        replay run --max_batch 1 or use the demo CLI."""
         from fdm_tpu.cli.common import default_sampler
 
         cfg = self.cfg
@@ -405,11 +425,13 @@ class AnimationService:
                 live.append(req)
             groups = {}
             for req in live:
-                # seed is part of the group key: the sampler draws ONE
-                # (B, L, C) noise stream per device call, so clips with
-                # different seeds must not share it
+                # seed is NOT part of the group key: the sampler accepts a
+                # batch of PER-ROW PRNG keys (diffusion/gaussian.py
+                # _per_row_keys), so mixed-seed requests — the normal
+                # production traffic — share one device call and each row's
+                # noise still depends only on its own seed
                 key = (req.T_pad, req.sampler, req.steps, req.cfg_scale,
-                       req.seed, req.dtype)
+                       req.dtype)
                 groups.setdefault(key, []).append(req)
             for key, reqs in groups.items():
                 self._execute(key, reqs)
@@ -418,7 +440,7 @@ class AnimationService:
         import jax
         import jax.numpy as jnp
 
-        T_pad, sampler, steps, cfg_scale, seed, dtype = key
+        T_pad, sampler, steps, cfg_scale, dtype = key
         try:
             B = len(reqs)
             # pad the batch to a power-of-two bucket: XLA programs are
@@ -449,9 +471,17 @@ class AnimationService:
                 jnp.float32(cfg_scale)
                 if (cfg_scale is not None and not cfg_off) else None
             )
+            # one PRNG key PER ROW, built on the host CPU (a device
+            # PRNGKey() here would dispatch one tiny remote program per
+            # request); padding rows reuse row 0's key — their output is
+            # dropped
+            with jax.default_device(jax.devices("cpu")[0]):
+                row_keys = np.stack([
+                    np.asarray(jax.random.PRNGKey(r.seed)) for r in padded
+                ])
             out_dev = self._generate(
                 self.vq_params, self.fdm_params, hidden, tmpl, style,
-                emotion, jax.random.PRNGKey(seed),
+                emotion, row_keys,
                 sampler, steps, scale, cfg_off,
             )
             if dtype == "float16":

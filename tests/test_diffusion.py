@@ -261,3 +261,64 @@ def test_scan_with_remainder_applies_body_in_order():
     for unroll in (1, 4, 8, 49, 64):
         got = _scan_with_remainder(body, jnp.float32(0.0), xs, 49, unroll)
         np.testing.assert_allclose(float(got), expect, rtol=1e-6)
+
+
+def test_per_row_keys_isolate_noise_streams():
+    """A batch of per-row PRNG keys gives each row its own noise stream:
+    row i's sample depends only on key i, not on the co-batched keys —
+    the property the serving layer's mixed-seed batching rests on."""
+    schedule = make_schedule(timesteps=20)
+    shape = (2, 8, 4)
+
+    def denoise_fn(x, t):
+        return 0.5 * x  # row-independent
+
+    kA, kB, kC = (jax.random.PRNGKey(s) for s in (1, 2, 3))
+    for sampler, kw in (
+        (ddpm_sample, dict(num_steps=20)),
+        (ddim_sample, dict(steps=5, eta=0.0)),
+        (ddim_sample, dict(steps=5, eta=0.5)),
+    ):
+        ab = sampler(schedule, denoise_fn, shape, jnp.stack([kA, kB]), **kw)
+        ac = sampler(schedule, denoise_fn, shape, jnp.stack([kA, kC]), **kw)
+        np.testing.assert_array_equal(np.asarray(ab[0]), np.asarray(ac[0]))
+        # different keys must actually give different rows
+        assert not np.allclose(np.asarray(ab[0]), np.asarray(ab[1]))
+        assert not np.allclose(np.asarray(ab[1]), np.asarray(ac[1]))
+
+
+def test_per_row_keys_batch_mismatch_raises():
+    schedule = make_schedule(timesteps=4)
+
+    def denoise_fn(x, t):
+        return x
+
+    keys = jnp.stack([jax.random.PRNGKey(0)] * 3)
+    with pytest.raises(ValueError, match="per-row keys"):
+        ddpm_sample(schedule, denoise_fn, (2, 4, 2), keys, num_steps=4)
+
+
+def test_single_key_path_unchanged_by_per_row_support():
+    """The one-key path must stay bit-identical to the original stream
+    semantics (split once for x_T, then split(num_steps)) — golden-value
+    check against a hand-rolled replica of that stream."""
+    schedule = make_schedule(timesteps=6)
+    shape = (2, 4, 3)
+
+    def denoise_fn(x, t):
+        return 0.9 * x
+
+    key = jax.random.PRNGKey(7)
+    out = ddpm_sample(schedule, denoise_fn, shape, key, num_steps=6)
+
+    rest, init_key = jax.random.split(key)
+    x = jax.random.normal(init_key, shape)
+    step_keys = jax.random.split(rest, 6)
+    from fdm_tpu.diffusion.gaussian import q_posterior as qp
+    for i, t_scalar in enumerate(range(5, -1, -1)):
+        t = jnp.full((2,), t_scalar, jnp.int32)
+        mean, _, log_var = qp(schedule, 0.9 * x, x, t)
+        noise = jax.random.normal(step_keys[i], shape)
+        nz = 1.0 if t_scalar > 0 else 0.0
+        x = mean + nz * jnp.exp(0.5 * log_var) * noise
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)

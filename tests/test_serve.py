@@ -320,3 +320,46 @@ def test_dp_service_shards_batches_and_matches_single_device(server):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
     # the single clip padded out to one row per device
     assert dp_service.stats["batches"] == 1
+
+
+def test_mixed_seed_requests_batch_and_stay_seed_deterministic(server):
+    """Production traffic carries a different seed per request. The sampler
+    takes per-row PRNG keys, so mixed-seed requests share ONE device call
+    (they used to split into B=1 groups — the round-4 serve-bench p95
+    tail), and each clip's noise depends only on its own seed: re-serving
+    a request co-batched with DIFFERENT partners returns the same
+    animation."""
+    port, service, cfg = server
+    body = _wav_bytes(0.6)
+
+    def round_trip(seeds):
+        results = {}
+
+        def worker(seed):
+            results[seed] = _post(
+                port, body, f"?emotion=happy&style=1&steps=2&seed={seed}"
+            )
+
+        threads = [
+            threading.Thread(target=worker, args=(s,)) for s in seeds
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert len(results) == len(seeds)
+        return results
+
+    first = round_trip([11, 12, 13])
+    # the window must have merged the mixed-seed posts into one batch
+    assert max(
+        int(h["X-Batch-Size"]) for _, h in first.values()
+    ) >= 2
+    # NOTE: distinct seeds need not give distinct OUTPUTS here — the tiny
+    # codec's quantizer snaps nearby latents to the same codes; per-row
+    # noise isolation itself is asserted at the sampler level
+    # (test_diffusion.py::test_per_row_keys_isolate_noise_streams)
+    a11 = first[11][0]
+
+    second = round_trip([11, 20, 21])
+    np.testing.assert_allclose(second[11][0], a11, atol=1e-5)

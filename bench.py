@@ -724,58 +724,55 @@ def main():
         ("train_b8", "train", lambda: bench_train_step(
             repeats=train_reps_b8, dtype=args.dtype, batch_size=8,
         )),
-        # ---- extras below the headline cut ----
-        # the batching HTTP front end over loopback (no reference analog)
-        ("serve", "serve", lambda: bench_serve(
-            seconds=args.seconds if not args.quick else 2.0,
-            clips=6 if args.quick else 24,
-            steps=10 if args.quick else 50,
-        )),
+        # ---- extras below the headline cut, must-land records first
+        # (round-4 postmortem: the budget cut from the BOTTOM, and the
+        # long-clip + bf16-train records had never landed in any round) ----
         # >600-frame clip through the flash-attention streaming path (the
         # (H,T,T) bias table would be the memory bottleneck there)
         ("mead_longclip_fused", "longclip", lambda: bench_rtf(
             "mead", "ddpm", args.steps, 30.0, args.repeats,
             True, args.dtype, name_suffix="_30s_fused",
         )),
+    ]
+    if not (args.only is None and args.dtype == "bfloat16"):
+        # full run in bf16: the train suite already measured bf16 above,
+        # so the dedicated record would duplicate the metric name. An
+        # explicit --only bf16 always runs.
+        jobs.append(("train_b8_bf16", "bf16", lambda: bench_train_step(
+            repeats=train_reps_b8, dtype="bfloat16", batch_size=8,
+        )))
+    jobs += [
         ("stage1_b8_bf16", "stage1", lambda: bench_stage1_train_step(
             repeats=s1_reps, dtype="bfloat16", batch_size=8,
         )),
+        # the batching HTTP front end over loopback (no reference analog)
+        ("serve", "serve", lambda: bench_serve(
+            seconds=args.seconds if not args.quick else 2.0,
+            clips=6 if args.quick else 24,
+            steps=10 if args.quick else 50,
+        )),
     ]
     if not (args.only is None and args.dtype == "bfloat16"):
-        # full run in bf16: the train/mead suites already measure bf16, so
-        # the dedicated bf16 group would emit duplicate metric names and
-        # repeat the measurements. An explicit --only bf16 always runs.
-        jobs += [
-            ("train_b8_bf16", "bf16", lambda: bench_train_step(
-                repeats=train_reps_b8, dtype="bfloat16", batch_size=8,
-            )),
-            # best measured stage-2 utilization point (~40% MFU at b16)
-            ("train_b16_bf16", "bf16", lambda: bench_train_step(
-                repeats=train_reps_b8, dtype="bfloat16", batch_size=16,
-            )),
-            # documents that bf16 does NOT help latency-bound B=1 sampling
-            ("mead_bf16", "bf16", lambda: bench_rtf(
-                "mead", "ddpm", args.steps, args.seconds, args.repeats,
-                args.fused, "bfloat16",
-            )),
-        ]
+        # best measured stage-2 utilization point (~40% MFU at b16)
+        jobs.append(("train_b16_bf16", "bf16", lambda: bench_train_step(
+            repeats=train_reps_b8, dtype="bfloat16", batch_size=16,
+        )))
     # batched offline generation: batched denoise IS compute-bound (unlike
     # B=1), so bf16 and a deeper batch both pay off (measured per-clip
-    # bf16: b8 0.0084, b16 0.0079, b32 0.0077 — flattening at b32). Skip
-    # whichever b16/b32 record a --dtype bfloat16 --batch_size 16/32
-    # invocation already emitted via the first throughput job.
+    # bf16: b8 0.0084, b16 0.0079, b32 0.0077 — b32 flattens, so its
+    # record was cut to fit the budget; PERF.md keeps the measurement).
+    # bf16 at B=1 is likewise documented in PERF.md as a NEGATIVE result
+    # (op-dispatch-bound, 150.7->156.8 ms) rather than re-benched here.
     jobs.append(("mead_throughput", "throughput", lambda: bench_rtf(
         "mead", "ddpm", args.steps, args.seconds, args.repeats,
         args.fused, args.dtype, batch_size=args.batch_size,
     )))
-    for fixed_b in (16, 32):
-        if args.dtype == "bfloat16" and args.batch_size == fixed_b:
-            continue
+    if not (args.dtype == "bfloat16" and args.batch_size == 16):
         jobs.append((
-            f"mead_throughput_b{fixed_b}_bf16", "throughput",
-            lambda b=fixed_b: bench_rtf(
+            "mead_throughput_b16_bf16", "throughput",
+            lambda: bench_rtf(
                 "mead", "ddpm", args.steps, args.seconds, args.repeats,
-                args.fused, "bfloat16", batch_size=b,
+                args.fused, "bfloat16", batch_size=16,
             ),
         ))
     jobs += [

@@ -112,7 +112,8 @@ def main(argv=None) -> int:
 
     mesh = choose_mesh(cfg.train.batch_size)
     tx = accumulating_optimizer(
-        default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay),
+        default_optimizer(cfg.train.learning_rate, cfg.train.weight_decay,
+                          amsgrad=cfg.train.stage1_amsgrad),
         args.grad_accum,
     )
     if args.fsdp:

@@ -151,6 +151,10 @@ class TrainConfig:
     batch_size: int = 1
     learning_rate: float = 1e-4
     weight_decay: float = 1e-2      # torch AdamW default used by reference
+    # every reference stage-1 trainer passes amsgrad=True to AdamW
+    # (train_mead_vqvae.py:49, train_biwi_vqvae.py:27,
+    # train_vocaset_vqvae.py:27); the stage-2 trainers do not
+    stage1_amsgrad: bool = True
     stage1_epochs: int = 400
     stage2_epochs: int = 100
     eval_every: int = 5

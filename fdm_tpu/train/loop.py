@@ -75,10 +75,63 @@ def _ema_update(ema_params, params, decay: float):
 
 
 def default_optimizer(learning_rate: float = 1e-4,
-                      weight_decay: float = 1e-2) -> optax.GradientTransformation:
+                      weight_decay: float = 1e-2,
+                      amsgrad: bool = False) -> optax.GradientTransformation:
     """AdamW matching the reference trainers (lr 1e-4,
-    train/train_diffusion_mead.py:49; torch AdamW default weight decay)."""
-    return optax.adamw(learning_rate, weight_decay=weight_decay)
+    train/train_diffusion_mead.py:49; torch AdamW default weight decay).
+
+    `amsgrad=True` reproduces torch's `AdamW(..., amsgrad=True)` — the
+    monotone second-moment cap every reference STAGE-1 trainer uses
+    (train_mead_vqvae.py:49, train_biwi_vqvae.py:27,
+    train_vocaset_vqvae.py:27; the diffusion trainers use plain AdamW).
+    Measured on the 32-clip head-to-head regime this is a large per-step
+    convergence lever for the b1 VQ codebook (runs_r5/headtohead/)."""
+    scaler = (_scale_by_amsgrad_torch() if amsgrad
+              else optax.scale_by_adam())
+    return optax.chain(
+        scaler,
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+class _AmsgradState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+    nu_max: Any
+
+
+def _scale_by_amsgrad_torch(b1: float = 0.9, b2: float = 0.999,
+                            eps: float = 1e-8):
+    """torch-exact AMSGrad scaling. optax.scale_by_amsgrad takes the
+    running max over BIAS-CORRECTED second moments; torch takes the max
+    over raw moments and applies the CURRENT step's correction to it
+    (torch/optim/adamw.py `amsgrad` branch), which differs on early steps
+    — exactly the regime the stage-1 parity targets."""
+
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _AmsgradState(count=jnp.zeros([], jnp.int32), mu=zeros(),
+                             nu=zeros(), nu_max=zeros())
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * g * g, state.nu, updates)
+        nu_max = jax.tree_util.tree_map(jnp.maximum, state.nu_max, nu)
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        scaled = jax.tree_util.tree_map(
+            lambda m, vm: (m / bc1) / (jnp.sqrt(vm) / jnp.sqrt(bc2) + eps),
+            mu, nu_max)
+        return scaled, _AmsgradState(count=count, mu=mu, nu=nu,
+                                     nu_max=nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_stage1_step(

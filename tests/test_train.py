@@ -673,3 +673,48 @@ def test_multi_step_in_body_cast_matches_dispatch_cast():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
         )
+
+
+def test_amsgrad_matches_torch_adamw_amsgrad():
+    """default_optimizer(amsgrad=True) reproduces torch AdamW(amsgrad=True)
+    — the optimizer every reference stage-1 trainer uses
+    (reference train/train_mead_vqvae.py:49)."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(5, 3).astype(np.float32)
+    grads = [rng.randn(5, 3).astype(np.float32) for _ in range(12)]
+    lr, wd = 1e-2, 1e-2
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.AdamW([tw], lr=lr, weight_decay=wd, amsgrad=True)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    tx = default_optimizer(lr, wd, amsgrad=True)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_amsgrad_stage1_step_trains():
+    """The amsgrad optimizer composes with the jitted stage-1 step."""
+    cfg = tiny_pipeline()
+    ld, vq_params, *_ = init_pipeline(cfg)
+    tx = default_optimizer(1e-3, amsgrad=True)
+    state = create_train_state(vq_params, tx)
+    step = make_stage1_step(ld, tx, donate=False)
+    batch = _stage1_batch(cfg)
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-5:]) < losses[0] * 0.95, losses[::5]

@@ -467,9 +467,15 @@ class Trainer:
             count += n_steps
             # accumulate on device (jnp add dispatches async); float()-ing
             # per step would block the host on every step's result and
-            # serialize collation with compute
+            # serialize collation with compute. A multi-step chunk's
+            # metrics are the MEAN over its n_steps scanned steps, so
+            # weight by n_steps — summing raw chunk means and dividing by
+            # total steps under-reported every scan-dispatch epoch metric
+            # by (num_chunks/num_steps), e.g. 10.7x at 32 b1 batches in
+            # [16,9,7] chunks (the round-5 h2h diagnosis artifact).
             for k, v in metrics.items():
-                totals[k] = totals[k] + v if k in totals else v
+                w = v * n_steps if n_steps > 1 else v
+                totals[k] = totals[k] + w if k in totals else w
             if self.logger is not None:
                 # jnp.copy: the next step call DONATES self.state, which
                 # would invalidate the buffered step buffer before flush

@@ -718,3 +718,36 @@ def test_amsgrad_stage1_step_trains():
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
     assert np.mean(losses[-5:]) < losses[0] * 0.95, losses[::5]
+
+
+def test_run_epoch_weights_multi_step_chunk_means():
+    """A (batch, n_steps) multi-step chunk's metrics are the MEAN over its
+    scanned steps; run_epoch must weight them by n_steps or the epoch mean
+    under-reports by num_chunks/num_steps (the round-5 h2h phantom: 32 b1
+    batches in [16, 9, 7] chunks printed recon 10.7x lower than reality)."""
+    from fdm_tpu.train import Trainer, TrainState
+
+    # per-step "losses": chunk A covers steps [1..16], B [17..25], C [26..32]
+    steps = np.arange(1.0, 33.0)
+    chunks = [(steps[:16], 16), (steps[16:25], 9), (steps[25:], 7)]
+
+    class FakeMultiStep:
+        def __init__(self):
+            self.i = 0
+
+        def __call__(self, state, batch):
+            vals, n = chunks[self.i]
+            self.i += 1
+            return state._replace(step=state.step + n), {
+                "loss": jnp.asarray(vals.mean())
+            }
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params={}, opt_state={},
+    )
+    trainer = Trainer(FakeMultiStep(), state)
+    means = trainer.run_epoch(
+        [(({"x": jnp.zeros(())}), n) for _, n in chunks], epoch=1
+    )
+    np.testing.assert_allclose(means["loss"], steps.mean())
+    assert means["steps"] == 32

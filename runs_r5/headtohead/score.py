@@ -33,9 +33,17 @@ def load_preds(pred_dir, records):
 
 
 def main():
+    import argparse
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu_preds", default=os.path.join(H.TPU_DIR, "preds"))
+    ap.add_argument("--json_out", default=os.path.join(HERE,
+                                                       "headtohead.json"))
+    cli = ap.parse_args()
 
     from fdm_tpu.cli.common import FlameDecoder
     from fdm_tpu.data import synthetic_splits
@@ -77,7 +85,7 @@ def main():
         "sampler": "ddpm1000",
     }}
     for side, pred_dir in (("reference", os.path.join(H.REF_DIR, "preds")),
-                           ("fdm_tpu", os.path.join(H.TPU_DIR, "preds"))):
+                           ("fdm_tpu", cli.tpu_preds)):
         preds = load_preds(pred_dir, records)
         rep = correlation_report(
             records, None, config=cfg, decode=decode, recompute_gt=True,
@@ -108,7 +116,7 @@ def main():
     print(table)
 
     out["table"] = table
-    path = os.path.join(HERE, "headtohead.json")
+    path = cli.json_out
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)

@@ -130,7 +130,16 @@ def build_config(args) -> PipelineConfig:
         overrides["dataset.data_root"] = args.data_root
     for key, value in args.overrides:
         overrides[key] = value
-    return get_config(args.dataset, **overrides)
+    cfg = get_config(args.dataset, **overrides)
+    if cfg.train.matmul_precision != "default":
+        # XLA:TPU matmuls/einsums accumulate in bf16 by default; "float32"
+        # runs them as 3-pass bf16 (fp32-equivalent) — needed when signals
+        # sit near bf16's relative noise floor (facial displacements are
+        # ~3e-3) or for torch-parity studies
+        jax.config.update(
+            "jax_default_matmul_precision", cfg.train.matmul_precision
+        )
+    return cfg
 
 
 def make_pipeline(cfg: PipelineConfig, with_audio_encoder: bool = False,

@@ -109,6 +109,12 @@ def main(argv=None) -> int:
         jax.random.PRNGKey(cfg.train.seed),
         batch0["motion"], batch0["template"], batch0.get("emotion_one_hot"),
     )
+    out_dir = ensure_dir(args.output_dir)
+    ckpt = Checkpointer(out_dir + "/orbax", async_save=cfg.train.ckpt_async)
+    will_resume = args.resume and ckpt.latest_step() is not None
+    if cfg.train.stage1_codebook_init == "sample" and not will_resume:
+        vq_params = _sample_init_codebook(ld, cfg, args, vq_params, splits,
+                                          flame)
 
     mesh = choose_mesh(cfg.train.batch_size)
     tx = accumulating_optimizer(
@@ -156,10 +162,8 @@ def main(argv=None) -> int:
         )[1]["recon_loss"]
     )
 
-    out_dir = ensure_dir(args.output_dir)
-    ckpt = Checkpointer(out_dir + "/orbax", async_save=cfg.train.ckpt_async)
     start_epoch = 0
-    if args.resume and ckpt.latest_step() is not None:
+    if will_resume:
         state = ckpt.restore(target=state)
         start_epoch = resume_start_epoch(out_dir, int(state.step))
         print(f"resumed from step {int(state.step)} "
@@ -229,6 +233,67 @@ def main(argv=None) -> int:
     logger.close()
     ckpt.close()
     return 0
+
+
+def _sample_init_codebook(ld, cfg, args, vq_params, splits, flame):
+    """Seed the codebook from encoder-output tokens (train.stage1_codebook_init
+    ="sample"; see fdm_tpu/codec/quantizer.py:sample_codebook_init for the
+    rationale). Runs the encoder on the host CPU backend so short training
+    runs pay no extra device compiles."""
+    import jax.numpy as jnp
+
+    from fdm_tpu.codec.quantizer import sample_codebook_init
+
+    host = jax.device_get(vq_params)
+    toks, emos = [], []
+    need = 4 * cfg.vqvae.n_embed
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for batch in _batches(splits.train, cfg, args, epoch_seed=0,
+                              drop_last=False):
+            batch = jax.device_get(decode_motion(cfg, batch, flame))
+            z = ld.vqvae.apply(
+                host,
+                jnp.asarray(batch["motion"]) - jnp.asarray(batch["template"]),
+                batch.get("emotion_one_hot"),
+                batch.get("frame_mask"),
+                method="encode",
+            )
+            z = np.asarray(z, np.float32)
+            B, L, D = z.shape
+            fm = batch.get("frame_mask")
+            if fm is not None:
+                keep = np.asarray(
+                    ld._token_mask(jnp.asarray(fm))
+                ).reshape(B * L).astype(bool)
+            else:
+                keep = np.ones(B * L, bool)
+            eo = batch.get("emotion_one_hot")
+            if eo is not None:
+                emos.append(
+                    np.repeat(np.argmax(np.asarray(eo), -1), L)[keep]
+                )
+            toks.append(z.reshape(B * L, D)[keep])
+            if sum(map(len, toks)) >= need:
+                break
+    codebook = sample_codebook_init(
+        jax.random.PRNGKey(cfg.train.seed + 1),
+        np.concatenate(toks, axis=0),
+        (cfg.vqvae.n_embed, cfg.vqvae.zquant_dim),
+        emotion_ids=np.concatenate(emos, axis=0) if emos else None,
+        partitions=cfg.vqvae.emotion_classes,
+    )
+    import flax.core
+
+    p = flax.core.unfreeze(vq_params)
+    p["params"]["codebook"] = codebook
+    out = (
+        flax.core.freeze(p)
+        if isinstance(vq_params, flax.core.FrozenDict) else p
+    )
+    print(f"codebook init: sampled {cfg.vqvae.n_embed} entries from "
+          f"{sum(map(len, toks))} encoder tokens")
+    return out
 
 
 def _batches(records, cfg, args, epoch_seed: int, drop_last=None):

@@ -102,6 +102,63 @@ def quantize(
     return QuantizerOutput(z_q, loss, perplexity, indices, global_indices)
 
 
+def sample_codebook_init(
+    key: jax.Array,
+    tokens,                              # (M, D) pooled encoder-output tokens
+    codebook_shape,                      # (N, D)
+    emotion_ids=None,                    # (M,) int emotion per token
+    partitions: int = 0,
+    jitter: float = 0.02,
+) -> jnp.ndarray:
+    """Data-dependent codebook init: every entry becomes a sampled encoder
+    output token (+ small jitter so duplicates separate).
+
+    Rationale: the reference's uniform(-1/N, 1/N) init (models/lib/
+    quantizer.py:24) puts the codebook ~3 orders of magnitude below the
+    encoder's unit-scale output cloud; with Adam's lr-bounded steps the
+    entries need O(1/lr) steps just to REACH the data, which dominates
+    short training budgets (measured on the 32-clip head-to-head: the
+    quant loss is still ~0.17 after 3840 steps while recon has long
+    converged). Sampling entries from actual encoder outputs — the
+    standard k-means seeding used by production VQ stacks — removes that
+    travel phase entirely. This is an fdm_tpu training-stack default
+    (train.stage1_codebook_init="sample"); the reference-parity uniform
+    init remains the module's `init` behavior so converted-weight parity
+    is untouched.
+
+    For the emotion-partitioned codebook each slice draws from tokens of
+    clips WITH that emotion (falling back to the global pool for emotions
+    absent from the sample batches).
+    """
+    import numpy as np
+
+    N, D = codebook_shape
+    pool = np.asarray(tokens, dtype=np.float32).reshape(-1, D)
+    if not len(pool):
+        raise ValueError("sample_codebook_init: no valid tokens")
+    rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).ravel())
+    scale = jitter * float(pool.std())
+
+    def draw(p, n):
+        idx = rng.integers(0, len(p), size=n)
+        return p[idx] + rng.standard_normal((n, D)).astype(np.float32) * scale
+
+    if partitions:
+        if emotion_ids is None:
+            raise ValueError("partitioned codebook requires emotion_ids")
+        emo = np.asarray(emotion_ids).reshape(-1)
+        if emo.shape[0] != pool.shape[0]:
+            raise ValueError("emotion_ids must align with tokens")
+        size = N // partitions
+        out = np.empty((N, D), np.float32)
+        for p in range(partitions):
+            sub = pool[emo == p]
+            out[p * size:(p + 1) * size] = draw(sub if len(sub) else pool, size)
+    else:
+        out = draw(pool, N)
+    return jnp.asarray(out)
+
+
 def codebook_lookup(codebook: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     """Fetch codebook entries by GLOBAL index (reference get_codebook_entry,
     models/lib/quantizer.py:77-88 — note the reference intentionally ignores

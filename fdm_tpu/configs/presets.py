@@ -155,6 +155,13 @@ class TrainConfig:
     # (train_mead_vqvae.py:49, train_biwi_vqvae.py:27,
     # train_vocaset_vqvae.py:27); the stage-2 trainers do not
     stage1_amsgrad: bool = True
+    # "sample" (default) seeds the codebook from encoder-output tokens at
+    # train start (k-means-style seeding; removes the ~1/lr-step travel
+    # phase the reference's uniform(-1/N) init pays under Adam — measured
+    # on the 32-clip head-to-head, quant loss stuck at ~0.17 after 3840
+    # steps). "uniform" keeps the reference's init
+    # (models/lib/quantizer.py:24) for training-dynamics parity studies.
+    stage1_codebook_init: str = "sample"
     stage1_epochs: int = 400
     stage2_epochs: int = 100
     eval_every: int = 5
@@ -171,6 +178,10 @@ class TrainConfig:
     mesh_shape: Tuple[int, ...] = (1,)
     # precision: "bfloat16" for speed, "float32" for parity evals
     compute_dtype: str = "float32"
+    # jax_default_matmul_precision for the CLIs: "default" leaves XLA:TPU's
+    # bf16-accumulating matmuls; "float32"/"highest" forces fp32-equivalent
+    # (3-pass bf16) — see build_config
+    matmul_precision: str = "default"
     use_pallas: bool = False
     # gradient checkpointing of FDM decoder + audio encoder layers
     # (memory <- FLOPs; enables bigger batches / longer clips per chip)

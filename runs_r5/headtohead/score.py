@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--tpu_preds", default=os.path.join(H.TPU_DIR, "preds"))
     ap.add_argument("--json_out", default=os.path.join(HERE,
                                                        "headtohead.json"))
+    ap.add_argument("--ref_json", default=None,
+                    help="reuse the reference-side metrics from a prior "
+                    "run's JSON instead of rescoring its preds (the data "
+                    "universe is deterministic — seed %d — so the v1 "
+                    "reference numbers remain valid when its on-disk preds "
+                    "are gone)" % H.SEED)
     cli = ap.parse_args()
 
     from fdm_tpu.cli.common import FlameDecoder
@@ -86,6 +92,11 @@ def main():
     }}
     for side, pred_dir in (("reference", os.path.join(H.REF_DIR, "preds")),
                            ("fdm_tpu", cli.tpu_preds)):
+        if side == "reference" and cli.ref_json:
+            with open(cli.ref_json) as f:
+                out["reference"] = json.load(f)["reference"]
+            out["reference_source"] = cli.ref_json
+            continue
         preds = load_preds(pred_dir, records)
         rep = correlation_report(
             records, None, config=cfg, decode=decode, recompute_gt=True,

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from fdm_tpu.codec import quantize, codebook_lookup
@@ -120,3 +121,53 @@ def test_token_mask_excludes_padding():
     masked = quantize(codebook, z_pad, token_mask=mask)
     np.testing.assert_allclose(masked.loss, full.loss, rtol=1e-5)
     np.testing.assert_allclose(masked.perplexity, full.perplexity, rtol=1e-4)
+
+
+def test_sample_codebook_init_seeds_from_token_pool():
+    """Entries come from the token pool (+small jitter), per emotion slice
+    when partitioned, with a global-pool fallback for absent emotions."""
+    from fdm_tpu.codec.quantizer import sample_codebook_init
+
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    # two well-separated emotion clusters
+    pool0 = rng.normal(5.0, 0.1, (40, 4)).astype(np.float32)
+    pool1 = rng.normal(-5.0, 0.1, (30, 4)).astype(np.float32)
+    tokens = np.concatenate([pool0, pool1])
+    emo = np.array([0] * 40 + [1] * 30)
+
+    cb = sample_codebook_init(key, tokens, (8, 4), emotion_ids=emo,
+                              partitions=2)
+    assert cb.shape == (8, 4)
+    # slice 0 near +5, slice 1 near -5
+    assert float(jnp.abs(cb[:4] - 5.0).max()) < 1.0
+    assert float(jnp.abs(cb[4:] + 5.0).max()) < 1.0
+
+    # emotion 2 absent -> falls back to the global pool (finite, in-range)
+    cb3 = sample_codebook_init(key, tokens, (9, 4), emotion_ids=emo,
+                               partitions=3)
+    assert np.isfinite(np.asarray(cb3)).all()
+    assert float(jnp.abs(cb3[6:]).max()) < 6.0
+
+    # unpartitioned: quantizing the pool against the seeded codebook gives
+    # a far lower quant loss than the reference's uniform(-1/N) init
+    cb_flat = sample_codebook_init(key, tokens, (8, 4))
+    z = jnp.asarray(tokens)[None]
+    uniform = jax.random.uniform(key, (8, 4), minval=-1 / 8, maxval=1 / 8)
+    assert float(quantize(cb_flat, z).loss) < 0.1 * float(
+        quantize(uniform, z).loss
+    )
+
+
+def test_sample_codebook_init_validates_inputs():
+    from fdm_tpu.codec.quantizer import sample_codebook_init
+
+    key = jax.random.PRNGKey(0)
+    tokens = np.ones((10, 4), np.float32)
+    with pytest.raises(ValueError):
+        sample_codebook_init(key, tokens, (8, 4), partitions=2)  # no ids
+    with pytest.raises(ValueError):
+        sample_codebook_init(key, tokens, (8, 4),
+                             emotion_ids=np.zeros(3), partitions=2)
+    with pytest.raises(ValueError):
+        sample_codebook_init(key, np.empty((0, 4), np.float32), (8, 4))
